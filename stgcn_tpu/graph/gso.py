@@ -1,0 +1,183 @@
+"""Graph-shift-operator (GSO) construction.
+
+Reproduces the preprocessing semantics of the reference
+(``/root/reference/script/utility.py:6-76``) with a design that scales to
+million-node graphs:
+
+- all algebra stays in scipy sparse CSR (the reference densifies the
+  random-walk path through ``np.diag``, ``utility.py:44`` — we do not);
+- the Chebyshev ``lambda_max`` (2-norm) uses exact dense SVD only for small
+  graphs and switches to power iteration on ``GᵀG`` for large ones (the
+  reference's ``scipy.sparse.linalg.norm(gso, 2)``, ``utility.py:67``, is a
+  full SVD and cannot scale).
+
+The output is a typed, immutable :class:`GraphShiftOperator` host artifact;
+on-device representations (dense / block-sparse / sharded) are built from it
+in :mod:`stgcn_tpu.ops.graph_op`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import scipy.sparse as sp
+
+GSO_TYPES = (
+    "sym_norm_adj",
+    "sym_renorm_adj",
+    "sym_norm_lap",
+    "sym_renorm_lap",
+    "rw_norm_adj",
+    "rw_renorm_adj",
+    "rw_norm_lap",
+    "rw_renorm_lap",
+)
+
+# CLI-reachable subset in the reference (`main.py:52`).
+CLI_GSO_TYPES = ("sym_norm_lap", "rw_norm_lap", "sym_renorm_adj", "rw_renorm_adj")
+
+
+def symmetrize(dir_adj: sp.spmatrix) -> sp.csr_matrix:
+    """Max-symmetrization: ``A = max(A_d, A_dᵀ)`` elementwise.
+
+    Matches ``utility.py:17``:
+    ``A_d + A_dᵀ∘(A_dᵀ > A_d) − A_d∘(A_dᵀ > A_d)`` which, for non-negative
+    weights, is the elementwise maximum.
+    """
+    dir_adj = sp.csr_matrix(dir_adj)
+    t = dir_adj.T.tocsr()
+    mask = (t > dir_adj)  # boolean sparse
+    return (dir_adj + t.multiply(mask) - dir_adj.multiply(mask)).tocsr()
+
+
+def _degree_vector(adj: sp.spmatrix) -> np.ndarray:
+    return np.asarray(adj.sum(axis=1)).ravel()
+
+
+def calc_gso(dir_adj: sp.spmatrix, gso_type: str) -> sp.csr_matrix:
+    """Build the graph-shift operator. Mirrors ``utility.py:6-57``.
+
+    8 types: {sym, rw} × {norm, renorm} × {adj, lap}. ``renorm`` adds
+    self-loops before normalization; ``lap`` returns ``I − norm_adj``.
+    """
+    if gso_type not in GSO_TYPES:
+        raise ValueError(f"{gso_type!r} is not defined; expected one of {GSO_TYPES}")
+
+    adj = symmetrize(dir_adj)
+    n = adj.shape[0]
+    eye = sp.identity(n, format="csr", dtype=adj.dtype)
+
+    if "renorm" in gso_type:
+        adj = (adj + eye).tocsr()
+
+    row_sum = _degree_vector(adj)
+    if gso_type.startswith("sym"):
+        with np.errstate(divide="ignore"):
+            d_inv_sqrt = np.power(row_sum, -0.5)
+        d_inv_sqrt[np.isinf(d_inv_sqrt)] = 0.0
+        deg = sp.diags(d_inv_sqrt, format="csr")
+        norm_adj = deg @ adj @ deg
+    else:  # rw
+        with np.errstate(divide="ignore"):
+            d_inv = np.power(row_sum, -1.0)
+        d_inv[np.isinf(d_inv)] = 0.0
+        deg = sp.diags(d_inv, format="csr")
+        norm_adj = deg @ adj
+
+    if gso_type.endswith("lap"):
+        return (eye - norm_adj).tocsr()
+    return norm_adj.tocsr()
+
+
+def lambda_max(gso: sp.spmatrix, method: str = "auto", *, tol: float = 1e-10,
+               max_iter: int = 2000, seed: int = 0) -> float:
+    """Largest singular value (2-norm) of the GSO.
+
+    ``method='exact'`` matches the reference's ``scipy.sparse.linalg.norm(gso, 2)``
+    (``utility.py:67``, a full SVD). ``method='power'`` runs power iteration on
+    ``GᵀG`` and scales to million-node graphs. ``'auto'`` picks exact below
+    2000 vertices.
+    """
+    gso = sp.csr_matrix(gso)
+    n = gso.shape[0]
+    if method == "auto":
+        method = "exact" if n < 2000 else "power"
+    if method == "exact":
+        return float(sp.linalg.norm(gso, 2))
+    if method != "power":
+        raise ValueError(f"unknown lambda_max method {method!r}")
+
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(n)
+    v /= np.linalg.norm(v)
+    gt = gso.T.tocsr()
+    sigma_sq = 0.0
+    for _ in range(max_iter):
+        w = gt @ (gso @ v)
+        new_sigma_sq = float(v @ w)
+        nw = np.linalg.norm(w)
+        if nw == 0.0:
+            return 0.0
+        v = w / nw
+        if abs(new_sigma_sq - sigma_sq) <= tol * max(1.0, abs(new_sigma_sq)):
+            sigma_sq = new_sigma_sq
+            break
+        sigma_sq = new_sigma_sq
+    return float(np.sqrt(max(sigma_sq, 0.0)))
+
+
+def calc_chebynet_gso(gso: sp.spmatrix, *, lambda_max_method: str = "auto") -> sp.csr_matrix:
+    """Chebyshev rescale ``2L/λ_max − I`` (or ``L − I`` if ``λ_max ≥ 2``).
+
+    Mirrors ``utility.py:59-76``. On the three shipped road graphs
+    ``λ_max ≈ 1.012–1.015`` so the ``2L/λ_max − I`` branch is live.
+    """
+    gso = sp.csr_matrix(gso)
+    eye = sp.identity(gso.shape[0], format="csr", dtype=gso.dtype)
+    lmax = lambda_max(gso, method=lambda_max_method)
+    if lmax >= 2:
+        return (gso - eye).tocsr()
+    return (2 * gso / lmax - eye).tocsr()
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphShiftOperator:
+    """Host-side typed GSO artifact.
+
+    Replaces the reference's argparse-namespace smuggling
+    (``main.py:101-103`` mutates ``args.gso``) with an explicit object that
+    downstream code converts to on-device forms.
+    """
+
+    matrix: sp.csr_matrix
+    gso_type: str
+    cheb_rescaled: bool
+    lam_max: float | None
+
+    @property
+    def n_vertex(self) -> int:
+        return self.matrix.shape[0]
+
+    @property
+    def nnz(self) -> int:
+        return self.matrix.nnz
+
+    def to_dense(self, dtype=np.float32) -> np.ndarray:
+        return self.matrix.toarray().astype(dtype)
+
+
+def build_gso(dir_adj: sp.spmatrix, gso_type: str = "sym_norm_lap", *,
+              cheb: bool = True, lambda_max_method: str = "auto") -> GraphShiftOperator:
+    """End-to-end GSO pipeline: symmetrize → normalize → (optionally) Cheb-rescale.
+
+    ``cheb=True`` corresponds to ``graph_conv_type='cheb_graph_conv'``
+    (``main.py:99-100``); 1st-order GraphConv uses the raw normalized GSO.
+    """
+    g = calc_gso(dir_adj, gso_type)
+    lmax = None
+    if cheb:
+        lmax = lambda_max(g, method=lambda_max_method)
+        eye = sp.identity(g.shape[0], format="csr", dtype=g.dtype)
+        g = (g - eye).tocsr() if lmax >= 2 else (2 * g / lmax - eye).tocsr()
+    return GraphShiftOperator(matrix=g, gso_type=gso_type, cheb_rescaled=cheb, lam_max=lmax)

@@ -1,0 +1,92 @@
+"""Blocked SDDMM: sample ``g @ xᵀ`` at the nonzero tiles of a blocked-ELL
+pattern. This is the backward of SpMM w.r.t. the edge values (needed once
+edge weights become learnable) and a building block for attention-style
+edge scores.
+
+``out[i, k] = G_block[i] @ X_block[cols[i, k]]ᵀ`` contracting the full
+feature axis ``N``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def bcsr_sddmm_reference(cols: jax.Array, g: jax.Array, x: jax.Array,
+                         *, block_size: int) -> jax.Array:
+    nbr, max_b = cols.shape
+    bs = block_size
+    n = g.shape[1]
+    gb = g.reshape(nbr, bs, n)
+    xb = x.reshape(-1, bs, n)[cols]  # [nbr, max_b, bs, n]
+    return jnp.einsum("ran,rkbn->rkab", gb, xb,
+                      preferred_element_type=jnp.float32).astype(g.dtype)
+
+
+def _sddmm_kernel(cols_ref, g_ref, x_ref, o_ref, acc_ref):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        g_ref[:], x_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),  # g [bs,N] · x [bs,N]ᵀ
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _done():
+        o_ref[0, 0] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _sddmm_pallas(cols: jax.Array, g: jax.Array, x: jax.Array,
+                  *, block_size: int, tile_n: int) -> jax.Array:
+    nbr, max_b = cols.shape
+    bs = block_size
+    n = g.shape[1]
+    grid = (nbr, max_b, n // tile_n)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bs, tile_n), lambda i, k, j, cols_ref: (i, j)),
+            pl.BlockSpec((bs, tile_n), lambda i, k, j, cols_ref: (cols_ref[i, k], j)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bs, bs), lambda i, k, j, cols_ref: (i, k, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((bs, bs), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _sddmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbr, max_b, bs, bs), g.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nbr * max_b * n * bs * bs,
+            bytes_accessed=g.size * g.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+    )(cols, g, x)
+
+
+def bcsr_sddmm(cols: jax.Array, g: jax.Array, x: jax.Array, *,
+               block_size: int = 128, use_pallas: bool = True,
+               tile_n: int = 512) -> jax.Array:
+    """``out[nbr, max_b, bs, bs]`` = tiles of ``g @ xᵀ`` at the ELL pattern."""
+    if not use_pallas or jax.default_backend() != "tpu":
+        return bcsr_sddmm_reference(cols, g, x, block_size=block_size)
+    n = g.shape[1]
+    tile = min(tile_n, _round_up(n, 128))
+    n_pad = _round_up(n, tile)
+    if n_pad != n:
+        g = jnp.pad(g, ((0, 0), (0, n_pad - n)))
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n)))
+    return _sddmm_pallas(cols, g, x, block_size=block_size, tile_n=tile)

@@ -1,0 +1,123 @@
+"""On-device graph-shift-operator application.
+
+The reference applies its dense GSO with ``torch.einsum('hi,btij->bthj', ...)``
+(``model/layers.py:154-161,198``). Here the GSO is a typed on-device operator
+with interchangeable representations:
+
+- :class:`DenseGraphOp` — a dense ``[V, V]`` matmul on the MXU; optimal for
+  road-scale graphs (the shipped graphs are 207–325 vertices at 37–52%
+  density, where dense *is* the fastest sparse format on a systolic array).
+- :class:`BcsrGraphOp` — 128×128 block-compressed-sparse-row tiles driven by
+  a Pallas SpMM kernel with scalar-prefetched block indices; for graphs far
+  past the dense-viable size (100k–1M+ vertices).
+
+Both are registered pytrees, so they flow through ``jit`` / ``grad`` /
+``shard_map`` like any array.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from stgcn_tpu.graph.gso import GraphShiftOperator
+
+
+def _fold_to_vn(x: jax.Array) -> tuple[jax.Array, tuple[int, ...]]:
+    """[..., V, C] -> [V, prod(...)*C] with V leading, plus restore info."""
+    *lead, v, c = x.shape
+    perm = list(range(x.ndim))
+    perm = [x.ndim - 2] + perm[: x.ndim - 2] + [x.ndim - 1]
+    x_vn = jnp.transpose(x, perm).reshape(v, -1)
+    return x_vn, tuple(lead) + (c,)
+
+
+def _unfold_from_vn(y: jax.Array, lead_c: tuple[int, ...]) -> jax.Array:
+    *lead, c = lead_c
+    v = y.shape[0]
+    y = y.reshape((v, *lead, c))
+    perm = list(range(1, y.ndim - 1)) + [0, y.ndim - 1]
+    return jnp.transpose(y, perm)
+
+
+class DenseGraphOp(struct.PyTreeNode):
+    """Dense GSO: ``y[..., u, c] = sum_v A[u, v] x[..., v, c]``."""
+
+    matrix: jax.Array  # [V, V]
+
+    @property
+    def n_vertex(self) -> int:
+        return self.matrix.shape[0]
+
+    def __call__(self, x: jax.Array, *, scale: float | jax.Array = 1.0) -> jax.Array:
+        mat = self.matrix if isinstance(scale, float) and scale == 1.0 else self.matrix * scale
+        return jnp.einsum("uv,...vc->...uc", mat, x)
+
+
+class BcsrGraphOp(struct.PyTreeNode):
+    """128×128 blocked-CSR GSO applied via Pallas SpMM.
+
+    ``block_data``    — ``[n_blocks, bs, bs]`` dense tiles (row-major per row).
+    ``block_cols``    — ``[n_block_rows, max_blocks_per_row]`` block-column
+                        indices, padded with ``-1``.
+    ``n_vertex_pad``  — V rounded up to a multiple of ``bs``.
+    """
+
+    block_data: jax.Array
+    block_cols: jax.Array
+    n_vertex: int = struct.field(pytree_node=False)
+    block_size: int = struct.field(pytree_node=False)
+    use_pallas: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def n_vertex_pad(self) -> int:
+        return self.block_cols.shape[0] * self.block_size
+
+    def __call__(self, x: jax.Array, *, scale: float | jax.Array = 1.0) -> jax.Array:
+        from stgcn_tpu.kernels import spmm as spmm_mod
+
+        x_vn, lead_c = _fold_to_vn(x)
+        v = x_vn.shape[0]
+        pad = self.n_vertex_pad - v
+        if pad:
+            x_vn = jnp.pad(x_vn, ((0, pad), (0, 0)))
+        data = self.block_data if isinstance(scale, float) and scale == 1.0 else self.block_data * scale
+        y = spmm_mod.bcsr_spmm(data, self.block_cols, x_vn,
+                               block_size=self.block_size, use_pallas=self.use_pallas)
+        if pad:
+            y = y[:v]
+        return _unfold_from_vn(y, lead_c)
+
+
+GraphOp = Any  # structural: anything with .n_vertex and __call__(x, scale=...)
+
+
+def dense_graph_op(gso: GraphShiftOperator | np.ndarray, dtype=jnp.float32) -> DenseGraphOp:
+    mat = gso.to_dense() if isinstance(gso, GraphShiftOperator) else np.asarray(gso)
+    return DenseGraphOp(matrix=jnp.asarray(mat, dtype=dtype))
+
+
+def bcsr_graph_op(gso: GraphShiftOperator, *, block_size: int = 128,
+                  dtype=jnp.float32, use_pallas: bool = True) -> BcsrGraphOp:
+    from stgcn_tpu.graph.packing import pack_bcsr
+
+    data, cols = pack_bcsr(gso.matrix, block_size=block_size)
+    return BcsrGraphOp(block_data=jnp.asarray(data, dtype=dtype),
+                       block_cols=jnp.asarray(cols),
+                       n_vertex=gso.n_vertex, block_size=block_size,
+                       use_pallas=use_pallas)
+
+
+def make_graph_op(gso: GraphShiftOperator, kind: str = "auto", **kw) -> GraphOp:
+    """Pick a representation: dense under ~4k vertices, BCSR above."""
+    if kind == "auto":
+        kind = "dense" if gso.n_vertex <= 4096 else "bcsr"
+    if kind == "dense":
+        return dense_graph_op(gso, **kw)
+    if kind == "bcsr":
+        return bcsr_graph_op(gso, **kw)
+    raise ValueError(f"unknown graph-op kind {kind!r}")
