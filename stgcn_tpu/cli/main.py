@@ -1,0 +1,166 @@
+"""CLI driver: flag-compatible with the reference (`main.py:39-94`) plus
+TPU-native extensions (platform/mesh/kernel selection, resume, synthetic
+data).
+
+Pipeline: adjacency → GSO → on-device graph operator; CSV → chronological
+split → z-score (train-fit) → device series; model + optimizer + early
+stopping; train → test — the same four phases as `main.py:205-218`, with
+every stage an explicit object instead of a mutated argparse namespace.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+
+import numpy as np
+
+from stgcn_tpu.data import datasets as D
+from stgcn_tpu.data import synthetic as S
+from stgcn_tpu.graph import build_gso
+from stgcn_tpu.train.loop import TrainConfig, Trainer
+
+
+def _str2bool(v: str) -> bool:
+    # the reference uses `type=bool`, an argparse footgun that is always
+    # True for any non-empty string (`main.py:41,53`); we parse properly
+    # but keep the same flag names and defaults
+    return str(v).lower() not in ("false", "0", "no", "")
+
+
+def get_parameters(argv=None):
+    parser = argparse.ArgumentParser(description="STGCN-TPU")
+    # --- reference-parity flags (`main.py:40-63`) ---
+    parser.add_argument("--enable_cuda", type=_str2bool, default=True,
+                        help="kept for flag parity; device selection is JAX-native")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--dataset", type=str, default="metr-la",
+                        choices=["metr-la", "pems-bay", "pemsd7-m"])
+    parser.add_argument("--n_his", type=int, default=12)
+    parser.add_argument("--n_pred", type=int, default=3)
+    parser.add_argument("--time_intvl", type=int, default=5)  # unused downstream, as in reference
+    parser.add_argument("--Kt", type=int, default=3)
+    parser.add_argument("--stblock_num", type=int, default=2)
+    parser.add_argument("--act_func", type=str, default="glu", choices=["glu", "gtu"])
+    parser.add_argument("--Ks", type=int, default=3, choices=[3, 2])
+    parser.add_argument("--graph_conv_type", type=str, default="cheb_graph_conv",
+                        choices=["cheb_graph_conv", "graph_conv"])
+    parser.add_argument("--gso_type", type=str, default="sym_norm_lap",
+                        choices=["sym_norm_lap", "rw_norm_lap",
+                                 "sym_renorm_adj", "rw_renorm_adj"])
+    parser.add_argument("--enable_bias", type=_str2bool, default=True)
+    parser.add_argument("--droprate", type=float, default=0.5)
+    parser.add_argument("--lr", type=float, default=0.001)
+    parser.add_argument("--weight_decay_rate", type=float, default=0.001)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--epochs", type=int, default=1000)
+    parser.add_argument("--opt", type=str, default="adamw",
+                        choices=["adamw", "nadamw", "lion", "tiger", "tiger_fixed"])
+    parser.add_argument("--step_size", type=int, default=10)
+    parser.add_argument("--gamma", type=float, default=0.95)
+    parser.add_argument("--patience", type=int, default=10)
+    # --- TPU-native extensions ---
+    parser.add_argument("--data_root", type=str, default="data")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a JAX platform (cpu/tpu); default: auto")
+    parser.add_argument("--matmul_precision", type=str, default="default",
+                        choices=["default", "high", "highest"],
+                        help="'highest' for parity runs; 'default' (bf16 MXU) for speed")
+    parser.add_argument("--graph_op", type=str, default="auto",
+                        choices=["auto", "dense", "bcsr"],
+                        help="GSO representation: dense MXU matmul or Pallas block-sparse")
+    parser.add_argument("--shuffle", type=_str2bool, default=False,
+                        help="shuffle training windows (reference keeps False)")
+    parser.add_argument("--ckpt_dir", type=str, default=None)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--synthetic_ok", type=_str2bool, default=True,
+                        help="generate a deterministic synthetic vel.csv when missing")
+    parser.add_argument("--log_path", type=str, default=None)
+    return parser.parse_args(argv)
+
+
+def set_env(seed: int) -> None:
+    """Determinism knobs (`main.py:23-37`): JAX is deterministic by
+    construction; only the host-side RNGs need seeding."""
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def config_from_args(args) -> TrainConfig:
+    return TrainConfig(
+        n_his=args.n_his, n_pred=args.n_pred, kt=args.Kt, ks=args.Ks,
+        stblock_num=args.stblock_num, act_func=args.act_func,
+        graph_conv_type=args.graph_conv_type, enable_bias=args.enable_bias,
+        droprate=args.droprate, lr=args.lr, weight_decay=args.weight_decay_rate,
+        batch_size=args.batch_size, epochs=args.epochs, opt=args.opt,
+        step_size=args.step_size, gamma=args.gamma, patience=args.patience,
+        seed=args.seed, shuffle=args.shuffle,
+        ckpt_dir=args.ckpt_dir or f"checkpoints/STGCN_{args.dataset}",
+        log_path=args.log_path, dataset_name=args.dataset,
+    )
+
+
+def build_trainer(cfg: TrainConfig, *, dataset: str, data_root: str = "data",
+                  gso_type: str = "sym_norm_lap", graph_op_kind: str = "auto",
+                  synthetic_ok: bool = True) -> Trainer:
+    """Data + graph + model assembly (reference `data_preparate` +
+    `prepare_model`, `main.py:96-158`)."""
+    import jax.numpy as jnp
+
+    from stgcn_tpu.nn.model import STGCN
+    from stgcn_tpu.ops.graph_op import make_graph_op
+
+    adj, n_vertex = D.load_adj(dataset, data_root)
+    art = build_gso(adj, gso_type,
+                    cheb=(cfg.graph_conv_type == "cheb_graph_conv"))
+    gop = make_graph_op(art, kind=graph_op_kind)
+
+    vel_path = os.path.join(data_root, dataset, "vel.csv")
+    if not os.path.exists(vel_path):
+        if not synthetic_ok:
+            raise FileNotFoundError(
+                f"{vel_path} missing (stripped from the snapshot); pass "
+                "synthetic_ok=True to generate a deterministic synthetic series")
+        S.ensure_vel(dataset, data_root)
+    vel = D.load_vel(dataset, data_root)
+
+    train, val, test = D.chrono_split(vel)
+    scaler = D.ZScoreScaler()
+    train = scaler.fit_transform(train)
+    val = scaler.transform(val)
+    test = scaler.transform(test)
+
+    mk = lambda arr: D.ForecastDataset(  # noqa: E731
+        series=jnp.asarray(arr, jnp.float32), n_his=cfg.n_his, n_pred=cfg.n_pred)
+    model = STGCN(n_his=cfg.n_his, kt=cfg.kt, ks=cfg.ks,
+                  stblock_num=cfg.stblock_num, act_func=cfg.act_func,
+                  graph_conv_type=cfg.graph_conv_type, use_bias=cfg.enable_bias,
+                  droprate=cfg.droprate)
+    return Trainer(cfg, model, gop, mk(train), mk(val), mk(test), scaler)
+
+
+def main(argv=None):
+    import jax
+
+    args = get_parameters(argv)
+    print(f"Training configs: {args}")
+    set_env(args.seed)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+
+    cfg = config_from_args(args)
+    trainer = build_trainer(cfg, dataset=args.dataset, data_root=args.data_root,
+                            gso_type=args.gso_type, graph_op_kind=args.graph_op,
+                            synthetic_ok=args.synthetic_ok)
+    if args.resume and trainer.resume():
+        print(f"Resumed from epoch {trainer.epoch}")
+    trainer.fit()
+    trainer.test()
+
+
+if __name__ == "__main__":
+    main()

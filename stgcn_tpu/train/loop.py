@@ -1,0 +1,232 @@
+"""Train/val/test loops.
+
+Functional-core redesign of the reference driver (`main.py:160-203`): the
+train step is one pure jitted function over (params, opt_state, batch
+indices); the series and GSO live on device across the whole run; there is
+no per-batch host sync (the reference calls ``l.item()`` every step,
+`main.py:170` — here batch losses stay on device and are reduced once per
+epoch).
+
+Semantics preserved exactly: per-batch mean MSE loss on ``[B, V]``
+predictions, batch-size-weighted epoch loss, StepLR stepped per epoch,
+early stopping on val MSE with ties counting as no improvement, test
+metrics from the *best* checkpoint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from stgcn_tpu.data.datasets import ForecastDataset, ZScoreScaler, gather_windows
+from stgcn_tpu.train import metrics as M
+from stgcn_tpu.train.checkpoint import CheckpointManager
+from stgcn_tpu.train.earlystop import EarlyStopping
+from stgcn_tpu.train.optim import make_optimizer, make_step_lr
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # model (`main.py:44-54` defaults)
+    n_his: int = 12
+    n_pred: int = 3
+    kt: int = 3
+    ks: int = 3
+    stblock_num: int = 2
+    act_func: str = "glu"
+    graph_conv_type: str = "cheb_graph_conv"
+    enable_bias: bool = True
+    droprate: float = 0.5
+    # optimization (`main.py:55-62` defaults)
+    lr: float = 1e-3
+    weight_decay: float = 1e-3
+    batch_size: int = 32
+    epochs: int = 1000
+    opt: str = "adamw"
+    step_size: int = 10
+    gamma: float = 0.95
+    patience: int = 10
+    seed: int = 42
+    shuffle: bool = False  # reference quirk: no shuffling even in training
+    # io
+    ckpt_dir: str = "checkpoints/run"
+    log_path: str | None = None
+    dataset_name: str = "dataset"
+
+
+class Trainer:
+    def __init__(self, config: TrainConfig, model, gop, train_ds: ForecastDataset,
+                 val_ds: ForecastDataset, test_ds: ForecastDataset,
+                 scaler: ZScoreScaler):
+        self.cfg = config
+        self.model = model
+        self.gop = gop
+        self.train_ds, self.val_ds, self.test_ds = train_ds, val_ds, test_ds
+        self.scaler = scaler
+        self.ckpt = CheckpointManager(config.ckpt_dir)
+
+        steps_per_epoch = max(
+            -(-train_ds.num_windows // config.batch_size), 1)
+        self.steps_per_epoch = steps_per_epoch
+        self.lr_schedule = make_step_lr(config.lr, config.step_size,
+                                        config.gamma, steps_per_epoch)
+        self.tx = make_optimizer(config.opt, lr=self.lr_schedule,
+                                 weight_decay=config.weight_decay)
+
+        self.rng = jax.random.PRNGKey(config.seed)
+        init_rng, self.dropout_base = jax.random.split(self.rng)
+        x0 = jnp.zeros((1, config.n_his, train_ds.n_vertex, 1))
+        variables = model.init({"params": init_rng}, x0, gop, deterministic=True)
+        self.params = variables["params"]
+        self.opt_state = self.tx.init(self.params)
+        self.epoch = 0
+        self.es = EarlyStopping(patience=config.patience, delta=0.0,
+                                on_improvement=lambda _vl: self.ckpt.save_best(self.params))
+        self._build_steps()
+
+    # ------------------------------------------------------------------ jit
+    def _build_steps(self):
+        cfg, model, gop = self.cfg, self.model, self.gop
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, series, starts, n_valid, rng):
+            x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
+
+            def loss_fn(p):
+                pred = model.apply({"params": p}, x, gop, deterministic=False,
+                                   rngs={"dropout": rng})
+                pred = pred.reshape(pred.shape[0], -1)
+                return M.masked_mse(pred, y, n_valid)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        @jax.jit
+        def eval_loss_step(params, series, starts, n_valid):
+            x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
+            pred = model.apply({"params": params}, x, gop, deterministic=True)
+            pred = pred.reshape(pred.shape[0], -1)
+            return M.masked_mse(pred, y, n_valid)
+
+        @jax.jit
+        def predict_step(params, series, starts):
+            x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
+            pred = model.apply({"params": params}, x, gop, deterministic=True)
+            return pred.reshape(pred.shape[0], -1), y
+
+        self._train_step = train_step
+        self._eval_loss_step = eval_loss_step
+        self._predict_step = predict_step
+
+    # ----------------------------------------------------------------- loops
+    def train_epoch(self) -> float:
+        cfg = self.cfg
+        shuffle_rng = np.random.default_rng(cfg.seed + self.epoch) if cfg.shuffle else None
+        losses, weights = [], []
+        step = self.epoch * self.steps_per_epoch
+        for starts, n_valid in self.train_ds.batches(cfg.batch_size,
+                                                     shuffle=cfg.shuffle,
+                                                     rng=shuffle_rng):
+            rng = jax.random.fold_in(self.dropout_base, step)
+            self.params, self.opt_state, loss = self._train_step(
+                self.params, self.opt_state, self.train_ds.series,
+                starts, jnp.asarray(n_valid), rng)
+            losses.append(loss)
+            weights.append(n_valid)
+            step += 1
+        losses = np.asarray(jax.device_get(jnp.stack(losses)))
+        weights = np.asarray(weights, dtype=np.float64)
+        return float((losses * weights).sum() / weights.sum())
+
+    def validate(self) -> float:
+        return M.evaluate_mse(
+            lambda starts, n_valid: self._eval_loss_step(
+                self.params, self.val_ds.series, starts, jnp.asarray(n_valid)),
+            self.val_ds, self.cfg.batch_size)
+
+    def current_lr(self) -> float:
+        return float(self.lr_schedule(self.epoch * self.steps_per_epoch))
+
+    def fit(self, epochs: int | None = None, *, log: bool = True) -> dict:
+        cfg = self.cfg
+        n_epochs = cfg.epochs if epochs is None else epochs
+        history = []
+        log_f = open(cfg.log_path, "a") if cfg.log_path else None
+        try:
+            while self.epoch < n_epochs:
+                t0 = time.time()
+                train_loss = self.train_epoch()
+                val_loss = self.validate()
+                dt = time.time() - t0
+                lr = self.current_lr()
+                self.epoch += 1
+                rec = {"epoch": self.epoch, "lr": lr, "train_loss": train_loss,
+                       "val_loss": val_loss, "epoch_time_s": dt,
+                       "steps_per_s": self.steps_per_epoch / dt}
+                history.append(rec)
+                if log:
+                    print(f"Epoch: {self.epoch:03d} | Lr: {lr:.20f} "
+                          f"|Train loss: {train_loss:.6f} | Val loss: {val_loss:.6f} "
+                          f"| {dt:.2f}s ({rec['steps_per_s']:.1f} steps/s)")
+                if log_f:
+                    log_f.write(json.dumps(rec) + "\n")
+                    log_f.flush()
+                self.es(val_loss)
+                self._save_resume_state()
+                if self.es.early_stop:
+                    if log:
+                        print("Early stopping")
+                    break
+        finally:
+            if log_f:
+                log_f.close()
+        return {"history": history, "stopped_epoch": self.epoch}
+
+    def test(self, *, use_best: bool = True, log: bool = True) -> dict:
+        params = self.ckpt.restore_best(self.params) \
+            if use_best and self.ckpt.has_best() else self.params
+        mse = M.evaluate_mse(
+            lambda starts, n_valid: self._eval_loss_step(
+                params, self.test_ds.series, starts, jnp.asarray(n_valid)),
+            self.test_ds, self.cfg.batch_size)
+        mets = M.evaluate_metrics(
+            lambda starts: self._predict_step(params, self.test_ds.series, starts),
+            self.test_ds, self.scaler, self.cfg.batch_size)
+        if log:
+            print(f"Dataset {self.cfg.dataset_name:s} | Test loss {mse:.6f} "
+                  f"| MAE {mets['MAE']:.6f} | RMSE {mets['RMSE']:.6f} "
+                  f"| WMAPE {mets['WMAPE']:.8f}")
+        return {"test_mse": mse, **mets}
+
+    # ----------------------------------------------------------- resume
+    def _pytree_state(self) -> dict:
+        return {"params": self.params, "opt_state": self.opt_state}
+
+    def _save_resume_state(self) -> None:
+        host = {"epoch": self.epoch, "es": self.es.state_dict(),
+                "scaler_mean": np.asarray(self.scaler.mean_).tolist(),
+                "scaler_scale": np.asarray(self.scaler.scale_).tolist()}
+        self.ckpt.save_state(self._pytree_state(), host)
+
+    def resume(self) -> bool:
+        """Restore the latest full state; returns True if resumed."""
+        if not self.ckpt.has_state():
+            return False
+        state, host = self.ckpt.restore_state(self._pytree_state())
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.epoch = int(host["epoch"])
+        self.es.load_state_dict(host["es"])
+        self.es.on_improvement = lambda _vl: self.ckpt.save_best(self.params)
+        return True

@@ -21,6 +21,9 @@ from stgcn_tpu.graph import build_gso, calc_gso
 from stgcn_tpu.nn import layers as L
 from stgcn_tpu.nn import model as M
 from stgcn_tpu.ops import dense_graph_op
+from tests.parity_utils import (align_params, cheb_params, conv2d_params,
+    dense_params, gcl_params, ln_params, output_params, stblock_params,
+    temporal_params)
 
 torch = pytest.importorskip("torch")
 
@@ -46,73 +49,6 @@ def j2t_act(shape, seed=0):
     rng = np.random.default_rng(seed)
     x = rng.standard_normal(shape).astype(np.float32)  # [B,C,T,V]
     return torch.from_numpy(x), jnp.asarray(x.transpose(0, 2, 3, 1))
-
-
-def conv2d_params(mod):
-    w = mod.weight.detach().numpy()  # [c_out, c_in, kh, kw]
-    p = {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0))}
-    if mod.bias is not None:
-        p["bias"] = jnp.asarray(mod.bias.detach().numpy())
-    return p
-
-
-def dense_params(mod):
-    p = {"kernel": jnp.asarray(mod.weight.detach().numpy().T)}
-    if mod.bias is not None:
-        p["bias"] = jnp.asarray(mod.bias.detach().numpy())
-    return p
-
-
-def align_params(ref_align, c_in, c_out):
-    if c_in > c_out:
-        w = ref_align.align_conv.weight.detach().numpy()[:, :, 0, 0]  # [out,in]
-        return {"align_conv": {"kernel": jnp.asarray(w.T),
-                               "bias": jnp.asarray(ref_align.align_conv.bias.detach().numpy())}}
-    return {}
-
-
-def temporal_params(ref, c_in, c_out):
-    return {"align": align_params(ref.align, c_in, c_out),
-            "causal_conv": conv2d_params(ref.causal_conv)}
-
-
-def cheb_params(ref):
-    p = {"weight": jnp.asarray(ref.weight.detach().numpy())}
-    if ref.bias is not None:
-        p["bias"] = jnp.asarray(ref.bias.detach().numpy())
-    return p
-
-
-def gcl_params(ref, c_in, c_out):
-    p = {"align": align_params(ref.align, c_in, c_out)}
-    if hasattr(ref, "cheb_graph_conv"):
-        p["cheb_graph_conv"] = cheb_params(ref.cheb_graph_conv)
-    else:
-        p["graph_conv"] = cheb_params(ref.graph_conv)
-    return p
-
-
-def ln_params(ref_ln):
-    return {"scale": jnp.asarray(ref_ln.weight.detach().numpy()),
-            "bias": jnp.asarray(ref_ln.bias.detach().numpy())}
-
-
-def stblock_params(ref, last_c, channels):
-    return {
-        "tmp_conv1": temporal_params(ref.tmp_conv1, last_c, channels[0]),
-        "graph_conv": gcl_params(ref.graph_conv, channels[0], channels[1]),
-        "tmp_conv2": temporal_params(ref.tmp_conv2, channels[1], channels[2]),
-        "ln": ln_params(ref.tc2_ln),
-    }
-
-
-def output_params(ref, last_c, channels):
-    return {
-        "tmp_conv1": temporal_params(ref.tmp_conv1, last_c, channels[0]),
-        "ln": ln_params(ref.tc1_ln),
-        "fc1": dense_params(ref.fc1),
-        "fc2": dense_params(ref.fc2),
-    }
 
 
 @pytest.mark.parametrize("c_in,c_out", [(64, 16), (16, 64), (32, 32)])
