@@ -30,26 +30,30 @@ def bcsr_sddmm_reference(cols: jax.Array, g: jax.Array, x: jax.Array,
                       preferred_element_type=jnp.float32).astype(g.dtype)
 
 
-def _sddmm_kernel(cols_ref, g_ref, x_ref, o_ref, acc_ref):
-    j = pl.program_id(2)
+def _make_sddmm_kernel(precision):
+    def _sddmm_kernel(cols_ref, g_ref, x_ref, o_ref, acc_ref):
+        j = pl.program_id(2)
 
-    @pl.when(j == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        @pl.when(j == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jax.lax.dot_general(
-        g_ref[:], x_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),  # g [bs,N] · x [bs,N]ᵀ
-        preferred_element_type=jnp.float32,
-    )
+        acc_ref[:] += jax.lax.dot_general(
+            g_ref[:], x_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),  # g [bs,N] · x [bs,N]ᵀ
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
 
-    @pl.when(j == pl.num_programs(2) - 1)
-    def _done():
-        o_ref[0, 0] = acc_ref[:].astype(o_ref.dtype)
+        @pl.when(j == pl.num_programs(2) - 1)
+        def _done():
+            o_ref[0, 0] = acc_ref[:].astype(o_ref.dtype)
+
+    return _sddmm_kernel
 
 
 def _sddmm_pallas(cols: jax.Array, g: jax.Array, x: jax.Array,
-                  *, block_size: int, tile_n: int) -> jax.Array:
+                  *, block_size: int, tile_n: int, precision=None) -> jax.Array:
     nbr, max_b = cols.shape
     bs = block_size
     n = g.shape[1]
@@ -66,7 +70,7 @@ def _sddmm_pallas(cols: jax.Array, g: jax.Array, x: jax.Array,
         scratch_shapes=[pltpu.VMEM((bs, bs), jnp.float32)],
     )
     return pl.pallas_call(
-        _sddmm_kernel,
+        _make_sddmm_kernel(precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbr, max_b, bs, bs), g.dtype),
         cost_estimate=pl.CostEstimate(
@@ -79,8 +83,11 @@ def _sddmm_pallas(cols: jax.Array, g: jax.Array, x: jax.Array,
 
 def bcsr_sddmm(cols: jax.Array, g: jax.Array, x: jax.Array, *,
                block_size: int = 128, use_pallas: bool = True,
-               tile_n: int = 512) -> jax.Array:
-    """``out[nbr, max_b, bs, bs]`` = tiles of ``g @ xᵀ`` at the ELL pattern."""
+               tile_n: int = 512, precision=None) -> jax.Array:
+    """``out[nbr, max_b, bs, bs]`` = tiles of ``g @ xᵀ`` at the ELL pattern.
+
+    ``precision`` as in :func:`~stgcn_tpu.kernels.spmm.bcsr_spmm`.
+    """
     if not use_pallas or jax.default_backend() != "tpu":
         return bcsr_sddmm_reference(cols, g, x, block_size=block_size)
     n = g.shape[1]
@@ -89,4 +96,5 @@ def bcsr_sddmm(cols: jax.Array, g: jax.Array, x: jax.Array, *,
     if n_pad != n:
         g = jnp.pad(g, ((0, 0), (0, n_pad - n)))
         x = jnp.pad(x, ((0, 0), (0, n_pad - n)))
-    return _sddmm_pallas(cols, g, x, block_size=block_size, tile_n=tile)
+    return _sddmm_pallas(cols, g, x, block_size=block_size, tile_n=tile,
+                         precision=precision)

@@ -38,23 +38,27 @@ def bcsr_spmm_reference(data: jax.Array, cols: jax.Array, x: jax.Array,
     return y.reshape(nbr * bs, n).astype(x.dtype)
 
 
-def _spmm_kernel(cols_ref, data_ref, x_ref, o_ref, acc_ref):
-    k = pl.program_id(2)
+def _make_spmm_kernel(precision):
+    def _spmm_kernel(cols_ref, data_ref, x_ref, o_ref, acc_ref):
+        k = pl.program_id(2)
 
-    @pl.when(k == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        @pl.when(k == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jnp.dot(data_ref[0, 0], x_ref[:],
-                          preferred_element_type=jnp.float32)
+        acc_ref[:] += jnp.dot(data_ref[0, 0], x_ref[:],
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
 
-    @pl.when(k == pl.num_programs(2) - 1)
-    def _done():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        @pl.when(k == pl.num_programs(2) - 1)
+        def _done():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    return _spmm_kernel
 
 
 def _spmm_pallas(data: jax.Array, cols: jax.Array, x: jax.Array,
-                 *, block_size: int, tile_n: int) -> jax.Array:
+                 *, block_size: int, tile_n: int, precision=None) -> jax.Array:
     nbr, max_b = cols.shape
     bs = block_size
     n = x.shape[1]
@@ -72,7 +76,7 @@ def _spmm_pallas(data: jax.Array, cols: jax.Array, x: jax.Array,
         scratch_shapes=[pltpu.VMEM((bs, tile_n), jnp.float32)],
     )
     return pl.pallas_call(
-        _spmm_kernel,
+        _make_spmm_kernel(precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbr * bs, n), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -85,10 +89,13 @@ def _spmm_pallas(data: jax.Array, cols: jax.Array, x: jax.Array,
 
 def bcsr_spmm(data: jax.Array, cols: jax.Array, x: jax.Array, *,
               block_size: int = 128, use_pallas: bool = True,
-              tile_n: int = 512) -> jax.Array:
+              tile_n: int = 512, precision=None) -> jax.Array:
     """``y[Vpad, N] = A_blocked @ x[Vpad, N]``.
 
-    ``N`` is padded internally to a lane multiple; callers see the original N.
+    ``N`` is padded internally to a lane multiple; callers see the original
+    N. ``precision`` follows `jax.lax.Precision`: the default lets the MXU
+    run bf16 multiplies with f32 accumulation (speed-of-light path);
+    ``'highest'`` forces full f32 for parity runs.
     """
     n = x.shape[1]
     if not use_pallas or jax.default_backend() != "tpu":
@@ -97,7 +104,8 @@ def bcsr_spmm(data: jax.Array, cols: jax.Array, x: jax.Array, *,
     n_pad = _round_up(n, tile)
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n)))
-    y = _spmm_pallas(data, cols, x, block_size=block_size, tile_n=tile)
+    y = _spmm_pallas(data, cols, x, block_size=block_size, tile_n=tile,
+                     precision=precision)
     return y[:, :n]
 
 

@@ -1,0 +1,138 @@
+"""Sparse-kernel tests (CPU: jnp fallback path; the Pallas path is
+exercised on TPU via STGCN_TEST_TPU=1 and in bench/kernel_bench.py).
+
+Correctness oracle: dense matmul of the unpacked matrix.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from stgcn_tpu.data.synthetic import random_road_graph
+from stgcn_tpu.graph import build_gso
+from stgcn_tpu.graph.packing import bcsr_density, pack_bcsr
+from stgcn_tpu.kernels.sddmm import bcsr_sddmm_reference
+from stgcn_tpu.kernels.spmm import bcsr_spmm, bcsr_spmm_vjp
+from stgcn_tpu.ops.graph_op import BcsrGraphOp, bcsr_graph_op, dense_graph_op
+
+
+def make_gso(n, seed=0, k=6):
+    adj = random_road_graph(n, k_neighbors=k, seed=seed)
+    return build_gso(adj, "sym_norm_lap", cheb=True)
+
+
+@pytest.mark.parametrize("n,bs", [(100, 32), (128, 32), (300, 64), (300, 128)])
+def test_pack_bcsr_roundtrip(n, bs):
+    art = make_gso(n)
+    data, cols = pack_bcsr(art.matrix, block_size=bs)
+    nbr = -(-n // bs)
+    assert data.shape[0] == nbr and data.shape[2:] == (bs, bs)
+    assert cols.shape == data.shape[:2]
+    # reassemble dense
+    vpad = nbr * bs
+    dense = np.zeros((vpad, vpad))
+    for i in range(nbr):
+        for k_ in range(cols.shape[1]):
+            dense[i * bs:(i + 1) * bs, cols[i, k_] * bs:(cols[i, k_] + 1) * bs] += data[i, k_]
+    np.testing.assert_allclose(dense[:n, :n], art.matrix.toarray(), atol=1e-12)
+    assert 0 < bcsr_density(cols, data) <= 1
+
+
+@pytest.mark.parametrize("n,bs,nfeat", [(100, 32, 16), (257, 64, 48)])
+def test_bcsr_spmm_matches_dense(n, bs, nfeat):
+    art = make_gso(n, seed=1)
+    data, cols = pack_bcsr(art.matrix, block_size=bs)
+    vpad = data.shape[0] * bs
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((vpad, nfeat)).astype(np.float32)
+    x[n:] = 0.0
+    y = bcsr_spmm(jnp.asarray(data, jnp.float32), jnp.asarray(cols),
+                  jnp.asarray(x), block_size=bs, use_pallas=False)
+    expect = art.matrix.toarray().astype(np.float32) @ x[:n]
+    np.testing.assert_allclose(np.asarray(y)[:n], expect, atol=1e-4)
+
+
+def test_bcsr_graph_op_matches_dense_op():
+    art = make_gso(200, seed=3)
+    dense_op = dense_graph_op(art)
+    bcsr_op = bcsr_graph_op(art, block_size=64, use_pallas=False)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 5, 200, 16)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(bcsr_op(x)), np.asarray(dense_op(x)),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bcsr_op(x, scale=2.0)),
+                               np.asarray(dense_op(x, scale=2.0)), atol=1e-4)
+
+
+def test_bcsr_sddmm_matches_dense():
+    n, bs, nfeat = 120, 32, 24
+    art = make_gso(n, seed=5)
+    data, cols = pack_bcsr(art.matrix, block_size=bs)
+    vpad = data.shape[0] * bs
+    rng = np.random.default_rng(6)
+    g = rng.standard_normal((vpad, nfeat)).astype(np.float32)
+    x = rng.standard_normal((vpad, nfeat)).astype(np.float32)
+    out = bcsr_sddmm_reference(jnp.asarray(cols), jnp.asarray(g), jnp.asarray(x),
+                               block_size=bs)
+    full = g @ x.T  # [vpad, vpad]
+    for i in range(cols.shape[0]):
+        for k in range(cols.shape[1]):
+            tile = full[i * bs:(i + 1) * bs, cols[i, k] * bs:(cols[i, k] + 1) * bs]
+            np.testing.assert_allclose(np.asarray(out)[i, k], tile, atol=1e-4)
+
+
+def test_bcsr_spmm_vjp_grads_match_dense():
+    """d/dx and d/ddata of the sparse path vs autodiff through dense matmul."""
+    n, bs, nfeat = 96, 32, 8
+    art = make_gso(n, seed=7)
+    a_dense = jnp.asarray(art.matrix.toarray(), jnp.float32)
+    data, cols = pack_bcsr(art.matrix, block_size=bs)
+    data_t, cols_t = pack_bcsr(art.matrix.T.tocsr(), block_size=bs)
+    data, cols = jnp.asarray(data, jnp.float32), jnp.asarray(cols)
+    data_t, cols_t = jnp.asarray(data_t, jnp.float32), jnp.asarray(cols_t)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((n, nfeat)).astype(np.float32))
+
+    def f_sparse(d, xx):
+        y = bcsr_spmm_vjp(d, cols, data_t, cols_t, xx, bs, False)
+        return (y[:n] ** 2).sum()
+
+    def f_dense(a, xx):
+        return ((a @ xx) ** 2).sum()
+
+    gd, gx = jax.grad(f_sparse, argnums=(0, 1))(data, x)
+    ga, gx_dense = jax.grad(f_dense, argnums=(0, 1))(a_dense, x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_dense), atol=1e-3)
+    # data-grad: compare per-tile against the dense A-grad at packed positions
+    ga_np = np.asarray(ga)
+    gd_np = np.asarray(gd)
+    cols_np = np.asarray(cols)
+    nbr = cols_np.shape[0]
+    padded = np.zeros((nbr * bs, nbr * bs), np.float32)
+    padded[:n, :n] = ga_np
+    seen = set()
+    for i in range(nbr):
+        for k in range(cols_np.shape[1]):
+            c = cols_np[i, k]
+            if (i, c) in seen:  # padding slots repeat col 0: grad aggregated there
+                continue
+            seen.add((i, c))
+            tile = padded[i * bs:(i + 1) * bs, c * bs:(c + 1) * bs]
+            if np.abs(np.asarray(jnp.asarray(tile))).max() == 0 and np.abs(gd_np[i, k]).max() == 0:
+                continue
+            np.testing.assert_allclose(gd_np[i, k], tile, atol=1e-3)
+
+
+def test_large_graph_pack_and_spmm():
+    """100k-node synthetic road graph packs and multiplies (fallback path)."""
+    n = 20000  # CI-sized stand-in for the 100k config
+    art = make_gso(n, seed=9, k=4)
+    data, cols = pack_bcsr(art.matrix, block_size=128)
+    assert data.shape[0] == -(-n // 128)
+    x = jnp.ones((data.shape[0] * 128, 8), jnp.float32)
+    y = bcsr_spmm(jnp.asarray(data, jnp.float32), jnp.asarray(cols), x,
+                  block_size=128, use_pallas=False)
+    row_sums = np.asarray(art.matrix.sum(axis=1)).ravel()
+    np.testing.assert_allclose(np.asarray(y)[:n, 0], row_sums, atol=1e-3)
