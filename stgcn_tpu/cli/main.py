@@ -104,9 +104,17 @@ def config_from_args(args) -> TrainConfig:
 
 def build_trainer(cfg: TrainConfig, *, dataset: str, data_root: str = "data",
                   gso_type: str = "sym_norm_lap", graph_op_kind: str = "auto",
-                  synthetic_ok: bool = True) -> Trainer:
+                  synthetic_ok: bool = True, mesh=None) -> Trainer:
     """Data + graph + model assembly (reference `data_preparate` +
-    `prepare_model`, `main.py:96-158`)."""
+    `prepare_model`, `main.py:96-158`).
+
+    With ``mesh``: the GSO becomes a vertex-partitioned
+    :class:`~stgcn_tpu.dist.ShardedGraphOp` (ring halo exchange on the
+    ``graph`` axis), the series' sensor columns are permuted into partition
+    order, and the series shards over the ``graph`` axis. All metrics are
+    permutation-invariant, so results match the single-device run.
+    """
+    import jax
     import jax.numpy as jnp
 
     from stgcn_tpu.nn.model import STGCN
@@ -115,7 +123,15 @@ def build_trainer(cfg: TrainConfig, *, dataset: str, data_root: str = "data",
     adj, n_vertex = D.load_adj(dataset, data_root)
     art = build_gso(adj, gso_type,
                     cheb=(cfg.graph_conv_type == "cheb_graph_conv"))
-    gop = make_graph_op(art, kind=graph_op_kind)
+
+    perm = None
+    if mesh is not None:
+        from stgcn_tpu.dist import sharded_graph_op
+
+        gop, partition = sharded_graph_op(art, mesh)
+        perm = partition.perm
+    else:
+        gop = make_graph_op(art, kind=graph_op_kind)
 
     vel_path = os.path.join(data_root, dataset, "vel.csv")
     if not os.path.exists(vel_path):
@@ -125,6 +141,8 @@ def build_trainer(cfg: TrainConfig, *, dataset: str, data_root: str = "data",
                 "synthetic_ok=True to generate a deterministic synthetic series")
         S.ensure_vel(dataset, data_root)
     vel = D.load_vel(dataset, data_root)
+    if perm is not None:
+        vel = vel[:, perm]
 
     train, val, test = D.chrono_split(vel)
     scaler = D.ZScoreScaler()
@@ -132,13 +150,24 @@ def build_trainer(cfg: TrainConfig, *, dataset: str, data_root: str = "data",
     val = scaler.transform(val)
     test = scaler.transform(test)
 
-    mk = lambda arr: D.ForecastDataset(  # noqa: E731
-        series=jnp.asarray(arr, jnp.float32), n_his=cfg.n_his, n_pred=cfg.n_pred)
+    series_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        series_sharding = NamedSharding(mesh, P(None, "graph"))
+
+    def mk(arr):
+        series = jnp.asarray(arr, jnp.float32)
+        if series_sharding is not None:
+            series = jax.device_put(series, series_sharding)
+        return D.ForecastDataset(series=series, n_his=cfg.n_his, n_pred=cfg.n_pred)
+
     model = STGCN(n_his=cfg.n_his, kt=cfg.kt, ks=cfg.ks,
                   stblock_num=cfg.stblock_num, act_func=cfg.act_func,
                   graph_conv_type=cfg.graph_conv_type, use_bias=cfg.enable_bias,
                   droprate=cfg.droprate)
-    return Trainer(cfg, model, gop, mk(train), mk(val), mk(test), scaler)
+    return Trainer(cfg, model, gop, mk(train), mk(val), mk(test), scaler,
+                   mesh=mesh)
 
 
 def main(argv=None):

@@ -64,13 +64,28 @@ class TrainConfig:
 
 
 class Trainer:
+    """Single- or multi-device trainer.
+
+    With ``mesh`` set, the batch axis shards over the ``data`` mesh axis and
+    the series' vertex axis over ``graph`` (matching a
+    :class:`~stgcn_tpu.dist.ShardedGraphOp`); params/opt-state are
+    replicated and XLA inserts the gradient ``psum`` — no explicit
+    collectives in this file.
+    """
+
     def __init__(self, config: TrainConfig, model, gop, train_ds: ForecastDataset,
                  val_ds: ForecastDataset, test_ds: ForecastDataset,
-                 scaler: ZScoreScaler):
+                 scaler: ZScoreScaler, *, mesh=None):
         self.cfg = config
         self.model = model
         self.gop = gop
+        self.mesh = mesh
         self.train_ds, self.val_ds, self.test_ds = train_ds, val_ds, test_ds
+        for name, ds in (("train", train_ds), ("val", val_ds), ("test", test_ds)):
+            if ds.num_windows < 1:
+                raise ValueError(
+                    f"{name} split has {int(ds.series.shape[0])} steps — too few "
+                    f"for n_his={config.n_his} + n_pred={config.n_pred} windows")
         self.scaler = scaler
         self.ckpt = CheckpointManager(config.ckpt_dir)
 
@@ -88,6 +103,14 @@ class Trainer:
         variables = model.init({"params": init_rng}, x0, gop, deterministic=True)
         self.params = variables["params"]
         self.opt_state = self.tx.init(self.params)
+        self._data_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
+            self._data_sharding = NamedSharding(mesh, P("data"))
         self.epoch = 0
         self.es = EarlyStopping(patience=config.patience, delta=0.0,
                                 on_improvement=lambda _vl: self.ckpt.save_best(self.params))
@@ -138,6 +161,8 @@ class Trainer:
         for starts, n_valid in self.train_ds.batches(cfg.batch_size,
                                                      shuffle=cfg.shuffle,
                                                      rng=shuffle_rng):
+            if self._data_sharding is not None:
+                starts = jax.device_put(starts, self._data_sharding)
             rng = jax.random.fold_in(self.dropout_base, step)
             self.params, self.opt_state, loss = self._train_step(
                 self.params, self.opt_state, self.train_ds.series,
