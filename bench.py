@@ -1,0 +1,230 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line to stdout:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Headline metric: PEMS-BAY training throughput (epochs/hr) on the current
+JAX backend — the end-to-end number a user feels. ``vs_baseline`` compares
+against the reference PyTorch implementation measured on this machine's
+CPU (the only hardware the reference can use here; recorded in
+``bench_baseline.json``). Extra fields report the Pallas SpMM edges/s and
+MXU-utilization roofline fraction on a 100k-vertex synthetic road graph
+(BASELINE.json configs[3] scale).
+
+All progress goes to stderr; stdout carries only the JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+BASELINE_FILE = os.path.join(ROOT, "bench_baseline.json")
+
+# Peak per-chip MXU throughput (dense f32-accumulated bf16 matmul).
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "cpu": 8.4e10,  # measured numpy matmul on this host
+}
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_train_throughput(dataset="pems-bay", batch_size=32, measure_steps=40):
+    """Steady-state training throughput of the flagship config."""
+    import jax
+    import jax.numpy as jnp
+
+    from stgcn_tpu.cli.main import build_trainer
+    from stgcn_tpu.train.loop import TrainConfig
+
+    cfg = TrainConfig(batch_size=batch_size, droprate=0.5,
+                      ckpt_dir="/tmp/bench_ckpt", dataset_name=dataset)
+    trainer = build_trainer(cfg, dataset=dataset, data_root=os.path.join(ROOT, "data"))
+    steps_per_epoch = trainer.steps_per_epoch
+    log(f"[train] {dataset}: {trainer.train_ds.num_windows} windows, "
+        f"{steps_per_epoch} steps/epoch, backend={jax.default_backend()}")
+
+    batches = trainer.train_ds.batches(batch_size)
+    starts, n_valid = next(batches)
+    nv = jnp.asarray(n_valid)
+    rng = jax.random.PRNGKey(0)
+
+    # warmup/compile
+    t0 = time.time()
+    p, o, l = trainer._train_step(trainer.params, trainer.opt_state,
+                                  trainer.train_ds.series, starts, nv, rng)
+    jax.block_until_ready(l)
+    trainer.params, trainer.opt_state = p, o
+    log(f"[train] compile+first step: {time.time() - t0:.1f}s")
+
+    for _ in range(3):
+        trainer.params, trainer.opt_state, l = trainer._train_step(
+            trainer.params, trainer.opt_state, trainer.train_ds.series,
+            starts, nv, rng)
+    jax.block_until_ready(l)
+
+    t0 = time.time()
+    for _ in range(measure_steps):
+        trainer.params, trainer.opt_state, l = trainer._train_step(
+            trainer.params, trainer.opt_state, trainer.train_ds.series,
+            starts, nv, rng)
+    jax.block_until_ready(l)
+    dt = (time.time() - t0) / measure_steps
+    log(f"[train] steady step: {dt * 1e3:.2f} ms")
+    return {
+        "step_time_s": dt,
+        "samples_per_s": batch_size / dt,
+        "epochs_per_hr": 3600.0 / (dt * steps_per_epoch),
+        "steps_per_epoch": steps_per_epoch,
+    }
+
+
+def bench_spmm(n_vertex=100_000, k_neighbors=8, n_feat=128, measure=20):
+    """Pallas blocked-ELL SpMM on a synthetic road graph (configs[3] scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stgcn_tpu.data.synthetic import random_road_graph
+    from stgcn_tpu.graph import build_gso
+    from stgcn_tpu.graph.packing import pack_bcsr
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.kernels.spmm import bcsr_spmm
+
+    t0 = time.time()
+    adj = random_road_graph(n_vertex, k_neighbors=k_neighbors, seed=0)
+    art = build_gso(adj, "sym_norm_lap", cheb=True)
+    m = permute_matrix(art.matrix, rcm_ordering(art.matrix))
+    nnz = m.nnz
+    data, cols = pack_bcsr(m, block_size=128)
+    log(f"[spmm] V={n_vertex} nnz={nnz} packed {data.shape} "
+        f"({time.time() - t0:.1f}s host prep)")
+
+    data_j = jnp.asarray(data, jnp.float32)
+    cols_j = jnp.asarray(cols)
+    x = jnp.asarray(np.random.default_rng(1)
+                    .standard_normal((data.shape[0] * 128, n_feat)).astype(np.float32))
+
+    y = bcsr_spmm(data_j, cols_j, x, block_size=128)
+    y.block_until_ready()
+    t0 = time.time()
+    for _ in range(measure):
+        y = bcsr_spmm(data_j, cols_j, x, block_size=128)
+    y.block_until_ready()
+    dt = (time.time() - t0) / measure
+
+    block_flops = 2 * data.shape[0] * data.shape[1] * 128 * 128 * n_feat
+    useful_flops = 2 * nnz * n_feat
+    device_kind = jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(device_kind, PEAK_FLOPS.get(jax.default_backend(), 197e12))
+    res = {
+        "spmm_time_s": dt,
+        "edges_per_s": nnz / dt,
+        "edge_flops_per_s": useful_flops / dt,
+        "mxu_flops_per_s": block_flops / dt,
+        "roofline_frac": (block_flops / dt) / peak,
+        "tile_occupancy": useful_flops / block_flops,
+        "device": device_kind,
+    }
+    log(f"[spmm] {dt * 1e3:.2f} ms → {res['edges_per_s']:.3e} edges/s, "
+        f"MXU {res['mxu_flops_per_s'] / 1e12:.1f} TFLOP/s "
+        f"({100 * res['roofline_frac']:.1f}% of peak)")
+    return res
+
+
+def bench_torch_reference(dataset="pems-bay", batch_size=32, measure_steps=6):
+    """Measure the reference implementation's training step on this host
+    (CPU — the reference's only available device here)."""
+    sys.path.insert(0, "/root/reference")
+    try:
+        import torch
+        from model import models as ref_models  # type: ignore
+    except Exception as e:  # reference not mounted
+        log(f"[torch] reference unavailable: {e}")
+        return None
+    finally:
+        sys.path.pop(0)
+
+    import scipy.sparse as sp
+
+    from stgcn_tpu.data import datasets as D
+    from stgcn_tpu.graph import build_gso
+    from stgcn_tpu.nn.model import build_blocks, compute_ko
+
+    adj = sp.load_npz(os.path.join(ROOT, "data", dataset, "adj.npz"))
+    n_vertex = adj.shape[0]
+    art = build_gso(adj, "sym_norm_lap", cheb=True)
+    args = argparse.Namespace(Kt=3, Ks=3, act_func="glu",
+                              graph_conv_type="cheb_graph_conv",
+                              gso=torch.from_numpy(art.to_dense()),
+                              enable_bias=True, droprate=0.5, n_his=12)
+    blocks = build_blocks(2, compute_ko(12, 3, 2))
+    model = ref_models.STGCNChebGraphConv(args, blocks, n_vertex)
+    opt = torch.optim.AdamW(model.parameters(), lr=1e-3, weight_decay=1e-3)
+    loss_fn = torch.nn.MSELoss()
+    rng = np.random.default_rng(0)
+    x = torch.from_numpy(rng.standard_normal((batch_size, 1, 12, n_vertex)).astype(np.float32))
+    y = torch.from_numpy(rng.standard_normal((batch_size, n_vertex)).astype(np.float32))
+
+    model.train()
+    for _ in range(2):  # warmup
+        opt.zero_grad(); loss_fn(model(x).view(len(x), -1), y).backward(); opt.step()
+    t0 = time.time()
+    for _ in range(measure_steps):
+        opt.zero_grad(); loss_fn(model(x).view(len(x), -1), y).backward(); opt.step()
+    dt = (time.time() - t0) / measure_steps
+    log(f"[torch] reference step: {dt * 1e3:.1f} ms (cpu)")
+    return {"step_time_s": dt, "samples_per_s": batch_size / dt}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="pems-bay")
+    ap.add_argument("--skip-spmm", action="store_true")
+    ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--spmm-vertices", type=int, default=100_000)
+    args = ap.parse_args()
+
+    train = bench_train_throughput(args.dataset)
+    spmm = None if args.skip_spmm else bench_spmm(n_vertex=args.spmm_vertices)
+
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f)
+        log(f"[baseline] loaded {BASELINE_FILE}")
+    elif not args.skip_torch:
+        ref = bench_torch_reference(args.dataset)
+        if ref is not None:
+            baseline = {"reference_impl": "hazdzz/STGCN torch-cpu",
+                        "dataset": args.dataset, **ref}
+            with open(BASELINE_FILE, "w") as f:
+                json.dump(baseline, f, indent=1)
+
+    vs = (baseline and train["step_time_s"] > 0
+          and baseline["step_time_s"] / train["step_time_s"]) or 1.0
+
+    out = {
+        "metric": f"{args.dataset}_train_epochs_per_hr",
+        "value": round(train["epochs_per_hr"], 3),
+        "unit": "epochs/hr",
+        "vs_baseline": round(vs, 3),
+        "train": {k: round(v, 6) for k, v in train.items()},
+    }
+    if spmm:
+        out["spmm"] = {k: (round(v, 6) if isinstance(v, float) else v)
+                       for k, v in spmm.items()}
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
