@@ -54,16 +54,19 @@ def bench_train_throughput(dataset="pems-bay", batch_size=32, measure_steps=40):
     log(f"[train] {dataset}: {trainer.train_ds.num_windows} windows, "
         f"{steps_per_epoch} steps/epoch, backend={jax.default_backend()}")
 
+    from stgcn_tpu.utils.timing import device_sync
+
     batches = trainer.train_ds.batches(batch_size)
     starts, n_valid = next(batches)
     nv = jnp.asarray(n_valid)
     rng = jax.random.PRNGKey(0)
 
-    # warmup/compile
+    # warmup/compile (sync via readback: block_until_ready is unreliable on
+    # tunneled backends)
     t0 = time.time()
     p, o, l = trainer._train_step(trainer.params, trainer.opt_state,
                                   trainer.train_ds.series, starts, nv, rng)
-    jax.block_until_ready(l)
+    device_sync(l)
     trainer.params, trainer.opt_state = p, o
     log(f"[train] compile+first step: {time.time() - t0:.1f}s")
 
@@ -71,14 +74,14 @@ def bench_train_throughput(dataset="pems-bay", batch_size=32, measure_steps=40):
         trainer.params, trainer.opt_state, l = trainer._train_step(
             trainer.params, trainer.opt_state, trainer.train_ds.series,
             starts, nv, rng)
-    jax.block_until_ready(l)
+    device_sync(l)
 
     t0 = time.time()
     for _ in range(measure_steps):
         trainer.params, trainer.opt_state, l = trainer._train_step(
             trainer.params, trainer.opt_state, trainer.train_ds.series,
             starts, nv, rng)
-    jax.block_until_ready(l)
+    device_sync(l)
     dt = (time.time() - t0) / measure_steps
     log(f"[train] steady step: {dt * 1e3:.2f} ms")
     return {
@@ -100,29 +103,36 @@ def bench_spmm(n_vertex=100_000, k_neighbors=8, n_feat=128, measure=20):
     from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
     from stgcn_tpu.kernels.spmm import bcsr_spmm
 
+    import functools
+
+    from stgcn_tpu.utils.timing import device_sync
+
     t0 = time.time()
     adj = random_road_graph(n_vertex, k_neighbors=k_neighbors, seed=0)
     art = build_gso(adj, "sym_norm_lap", cheb=True)
     m = permute_matrix(art.matrix, rcm_ordering(art.matrix))
     nnz = m.nnz
-    data, cols = pack_bcsr(m, block_size=128)
+    data, cols, counts = pack_bcsr(m, block_size=128)
     log(f"[spmm] V={n_vertex} nnz={nnz} packed {data.shape} "
         f"({time.time() - t0:.1f}s host prep)")
 
     data_j = jnp.asarray(data, jnp.float32)
     cols_j = jnp.asarray(cols)
+    counts_j = jnp.asarray(counts)
     x = jnp.asarray(np.random.default_rng(1)
                     .standard_normal((data.shape[0] * 128, n_feat)).astype(np.float32))
+    spmm_j = jax.jit(functools.partial(bcsr_spmm, block_size=128))
 
-    y = bcsr_spmm(data_j, cols_j, x, block_size=128)
-    y.block_until_ready()
+    y = spmm_j(data_j, cols_j, x, counts=counts_j)
+    device_sync(y)
     t0 = time.time()
     for _ in range(measure):
-        y = bcsr_spmm(data_j, cols_j, x, block_size=128)
-    y.block_until_ready()
+        y = spmm_j(data_j, cols_j, x, counts=counts_j)
+    device_sync(y)
     dt = (time.time() - t0) / measure
 
-    block_flops = 2 * data.shape[0] * data.shape[1] * 128 * 128 * n_feat
+    live_tiles = int(counts.sum())
+    block_flops = 2 * live_tiles * 128 * 128 * n_feat
     useful_flops = 2 * nnz * n_feat
     device_kind = jax.devices()[0].device_kind
     peak = PEAK_FLOPS.get(device_kind, PEAK_FLOPS.get(jax.default_backend(), 197e12))

@@ -15,14 +15,16 @@ import scipy.sparse as sp
 
 
 def pack_bcsr(matrix: sp.spmatrix, *, block_size: int = 128
-              ) -> tuple[np.ndarray, np.ndarray]:
+              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pack a sparse matrix into blocked-ELL tiles.
 
     Returns:
-      data: ``[n_block_rows, max_blocks_per_row, bs, bs]`` float array;
-            padding tiles are all-zero (and point at block-column 0, which
-            keeps the kernel mask-free — zero tiles contribute nothing).
-      cols: ``[n_block_rows, max_blocks_per_row]`` int32 block-column ids.
+      data:   ``[n_block_rows, max_blocks_per_row, bs, bs]`` float array;
+              padding tiles are all-zero (and point at block-column 0, which
+              keeps fallback paths mask-free — zero tiles contribute nothing).
+      cols:   ``[n_block_rows, max_blocks_per_row]`` int32 block-column ids.
+      counts: ``[n_block_rows]`` int32 — real (non-padding) tiles per row;
+              the Pallas kernel loops only this far.
     """
     csr = sp.csr_matrix(matrix)
     v = csr.shape[0]
@@ -46,7 +48,7 @@ def pack_bcsr(matrix: sp.spmatrix, *, block_size: int = 128
         if k:
             data[i, :k] = blocks[s:e]
             cols[i, :k] = indices[s:e]
-    return data, cols
+    return data, cols, np.asarray(counts, np.int32)
 
 
 def bcsr_density(cols: np.ndarray, data: np.ndarray) -> float:

@@ -31,19 +31,24 @@ def bcsr_sddmm_reference(cols: jax.Array, g: jax.Array, x: jax.Array,
 
 
 def _make_sddmm_kernel(precision):
-    def _sddmm_kernel(cols_ref, g_ref, x_ref, o_ref, acc_ref):
+    def _sddmm_kernel(cols_ref, counts_ref, g_ref, x_ref, o_ref, acc_ref):
+        i = pl.program_id(0)
+        k = pl.program_id(1)
         j = pl.program_id(2)
+        live = k < counts_ref[i]
 
         @pl.when(j == 0)
         def _init():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        acc_ref[:] += jax.lax.dot_general(
-            g_ref[:], x_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),  # g [bs,N] · x [bs,N]ᵀ
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        @pl.when(live)
+        def _acc():
+            acc_ref[:] += jax.lax.dot_general(
+                g_ref[:], x_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),  # g [bs,N] · x [bs,N]ᵀ
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
 
         @pl.when(j == pl.num_programs(2) - 1)
         def _done():
@@ -52,21 +57,24 @@ def _make_sddmm_kernel(precision):
     return _sddmm_kernel
 
 
-def _sddmm_pallas(cols: jax.Array, g: jax.Array, x: jax.Array,
-                  *, block_size: int, tile_n: int, precision=None) -> jax.Array:
+def _sddmm_pallas(cols: jax.Array, counts: jax.Array, g: jax.Array,
+                  x: jax.Array, *, block_size: int, tile_n: int,
+                  precision=None) -> jax.Array:
     nbr, max_b = cols.shape
     bs = block_size
     n = g.shape[1]
     grid = (nbr, max_b, n // tile_n)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bs, tile_n), lambda i, k, j, cols_ref: (i, j)),
-            pl.BlockSpec((bs, tile_n), lambda i, k, j, cols_ref: (cols_ref[i, k], j)),
+            pl.BlockSpec((bs, tile_n), lambda i, k, j, cols_ref, counts_ref: (i, j)),
+            pl.BlockSpec((bs, tile_n),
+                         lambda i, k, j, cols_ref, counts_ref: (cols_ref[i, k], j)),
         ],
-        out_specs=pl.BlockSpec((1, 1, bs, bs), lambda i, k, j, cols_ref: (i, k, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, bs, bs),
+                               lambda i, k, j, cols_ref, counts_ref: (i, k, 0, 0)),
         scratch_shapes=[pltpu.VMEM((bs, bs), jnp.float32)],
     )
     return pl.pallas_call(
@@ -78,23 +86,32 @@ def _sddmm_pallas(cols: jax.Array, g: jax.Array, x: jax.Array,
             bytes_accessed=g.size * g.dtype.itemsize * 2,
             transcendentals=0,
         ),
-    )(cols, g, x)
+    )(cols, counts, g, x)
 
 
 def bcsr_sddmm(cols: jax.Array, g: jax.Array, x: jax.Array, *,
+               counts: jax.Array | None = None,
                block_size: int = 128, use_pallas: bool = True,
                tile_n: int = 512, precision=None) -> jax.Array:
     """``out[nbr, max_b, bs, bs]`` = tiles of ``g @ xᵀ`` at the ELL pattern.
 
-    ``precision`` as in :func:`~stgcn_tpu.kernels.spmm.bcsr_spmm`.
+    Padding slots (``k >= counts[i]``) come back zero. ``precision`` as in
+    :func:`~stgcn_tpu.kernels.spmm.bcsr_spmm`.
     """
     if not use_pallas or jax.default_backend() != "tpu":
-        return bcsr_sddmm_reference(cols, g, x, block_size=block_size)
+        out = bcsr_sddmm_reference(cols, g, x, block_size=block_size)
+        if counts is not None:  # zero padding slots, like the kernel
+            live = jnp.arange(cols.shape[1])[None, :] < counts[:, None]
+            out = out * live[..., None, None].astype(out.dtype)
+        return out
+
+    if counts is None:
+        counts = jnp.full((cols.shape[0],), cols.shape[1], jnp.int32)
     n = g.shape[1]
     tile = min(tile_n, _round_up(n, 128))
     n_pad = _round_up(n, tile)
     if n_pad != n:
         g = jnp.pad(g, ((0, 0), (0, n_pad - n)))
         x = jnp.pad(x, ((0, 0), (0, n_pad - n)))
-    return _sddmm_pallas(cols, g, x, block_size=block_size, tile_n=tile,
+    return _sddmm_pallas(cols, counts, g, x, block_size=block_size, tile_n=tile,
                          precision=precision)

@@ -61,14 +61,15 @@ class DenseGraphOp(struct.PyTreeNode):
 class BcsrGraphOp(struct.PyTreeNode):
     """128×128 blocked-CSR GSO applied via Pallas SpMM.
 
-    ``block_data``    — ``[n_blocks, bs, bs]`` dense tiles (row-major per row).
-    ``block_cols``    — ``[n_block_rows, max_blocks_per_row]`` block-column
-                        indices, padded with ``-1``.
-    ``n_vertex_pad``  — V rounded up to a multiple of ``bs``.
+    ``block_data``   — ``[n_block_rows, max_b, bs, bs]`` dense tiles.
+    ``block_cols``   — ``[n_block_rows, max_b]`` block-column indices
+                       (padding slots point at 0 with zero data).
+    ``block_counts`` — ``[n_block_rows]`` live tiles per row.
     """
 
     block_data: jax.Array
     block_cols: jax.Array
+    block_counts: jax.Array
     n_vertex: int = struct.field(pytree_node=False)
     block_size: int = struct.field(pytree_node=False)
     use_pallas: bool = struct.field(pytree_node=False, default=True)
@@ -87,6 +88,7 @@ class BcsrGraphOp(struct.PyTreeNode):
             x_vn = jnp.pad(x_vn, ((0, pad), (0, 0)))
         data = self.block_data if isinstance(scale, float) and scale == 1.0 else self.block_data * scale
         y = spmm_mod.bcsr_spmm(data, self.block_cols, x_vn,
+                               counts=self.block_counts,
                                block_size=self.block_size, use_pallas=self.use_pallas)
         if pad:
             y = y[:v]
@@ -105,9 +107,10 @@ def bcsr_graph_op(gso: GraphShiftOperator, *, block_size: int = 128,
                   dtype=jnp.float32, use_pallas: bool = True) -> BcsrGraphOp:
     from stgcn_tpu.graph.packing import pack_bcsr
 
-    data, cols = pack_bcsr(gso.matrix, block_size=block_size)
+    data, cols, counts = pack_bcsr(gso.matrix, block_size=block_size)
     return BcsrGraphOp(block_data=jnp.asarray(data, dtype=dtype),
                        block_cols=jnp.asarray(cols),
+                       block_counts=jnp.asarray(counts),
                        n_vertex=gso.n_vertex, block_size=block_size,
                        use_pallas=use_pallas)
 
