@@ -14,7 +14,8 @@ import numpy as np
 import scipy.sparse as sp
 
 
-def pack_bcsr(matrix: sp.spmatrix, *, block_size: int = 128
+def pack_bcsr(matrix: sp.spmatrix, *, block_size: int = 128,
+              use_native: bool = True
               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pack a sparse matrix into blocked-ELL tiles.
 
@@ -31,6 +32,14 @@ def pack_bcsr(matrix: sp.spmatrix, *, block_size: int = 128
     bs = block_size
     nbr = -(-v // bs)
     vpad = nbr * bs
+
+    if use_native:
+        from stgcn_tpu import native
+
+        packed = native.pack_bcsr_native(csr.indptr, csr.indices,
+                                         csr.data, v, csr.shape[1], bs)
+        if packed is not None:
+            return packed
     if vpad != v:
         csr = sp.csr_matrix((csr.data, csr.indices, csr.indptr), shape=(v, csr.shape[1]))
         csr.resize((vpad, vpad))
