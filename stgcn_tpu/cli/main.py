@@ -77,6 +77,8 @@ def get_parameters(argv=None):
     parser.add_argument("--synthetic_ok", type=_str2bool, default=True,
                         help="generate a deterministic synthetic vel.csv when missing")
     parser.add_argument("--log_path", type=str, default=None)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler device trace here")
     return parser.parse_args(argv)
 
 
@@ -187,7 +189,7 @@ def main(argv=None):
                             synthetic_ok=args.synthetic_ok)
     if args.resume and trainer.resume():
         print(f"Resumed from epoch {trainer.epoch}")
-    trainer.fit()
+    trainer.fit(profile_dir=args.profile_dir)
     trainer.test()
 
 

@@ -183,12 +183,16 @@ class Trainer:
     def current_lr(self) -> float:
         return float(self.lr_schedule(self.epoch * self.steps_per_epoch))
 
-    def fit(self, epochs: int | None = None, *, log: bool = True) -> dict:
+    def fit(self, epochs: int | None = None, *, log: bool = True,
+            profile_dir: str | None = None) -> dict:
+        from stgcn_tpu.utils.profiling import profile
+
         cfg = self.cfg
         n_epochs = cfg.epochs if epochs is None else epochs
         history = []
         log_f = open(cfg.log_path, "a") if cfg.log_path else None
         try:
+          with profile(profile_dir):
             while self.epoch < n_epochs:
                 t0 = time.time()
                 train_loss = self.train_epoch()
