@@ -47,7 +47,7 @@ def bcsr_spmm_reference(data: jax.Array, cols: jax.Array, x: jax.Array,
     return y.reshape(nbr * bs, n).astype(x.dtype)
 
 
-def _make_spmm_kernel(bs: int, tile_n: int, max_b: int, precision):
+def _make_spmm_kernel(bs: int, tile_n: int, max_b: int, precision, n_buf: int):
     def kernel(cols_ref, counts_ref, data_ref, x_hbm, o_ref, x_buf, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -61,16 +61,18 @@ def _make_spmm_kernel(bs: int, tile_n: int, max_b: int, precision):
                 sem.at[slot],
             )
 
-        @pl.when(count > 0)
-        def _start():
-            get_dma(0, 0).start()
+        # warm the pipeline: up to n_buf DMAs in flight
+        for w in range(n_buf):
+            @pl.when(w < count)
+            def _start(w=w):
+                get_dma(w, w).start()
 
         def body(k, acc):
-            slot = k % 2
+            slot = k % n_buf
 
-            @pl.when(k + 1 < count)
+            @pl.when(k + n_buf < count)
             def _next():
-                get_dma((k + 1) % 2, k + 1).start()
+                get_dma(slot, k + n_buf).start()
 
             get_dma(slot, k).wait()
             return acc + jnp.dot(data_ref[0, k], x_buf[slot],
@@ -87,7 +89,7 @@ def _make_spmm_kernel(bs: int, tile_n: int, max_b: int, precision):
 
 def _spmm_pallas(data: jax.Array, cols: jax.Array, counts: jax.Array,
                  x: jax.Array, *, block_size: int, tile_n: int,
-                 precision=None) -> jax.Array:
+                 precision=None, n_buf: int = 4) -> jax.Array:
     nbr, max_b = cols.shape
     bs = block_size
     n = x.shape[1]
@@ -106,13 +108,13 @@ def _spmm_pallas(data: jax.Array, cols: jax.Array, counts: jax.Array,
         out_specs=pl.BlockSpec((bs, tile_n),
                                lambda i, j, cols_ref, counts_ref: (i, j)),
         scratch_shapes=[
-            pltpu.VMEM((2, bs, tile_n), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_buf, bs, tile_n), x.dtype),
+            pltpu.SemaphoreType.DMA((n_buf,)),
         ],
     )
     total_tiles = int(nbr * max_b)
     return pl.pallas_call(
-        _make_spmm_kernel(bs, tile_n, max_b, precision),
+        _make_spmm_kernel(bs, tile_n, max_b, precision, n_buf),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbr * bs, n), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -127,7 +129,7 @@ def _spmm_pallas(data: jax.Array, cols: jax.Array, counts: jax.Array,
 def bcsr_spmm(data: jax.Array, cols: jax.Array, x: jax.Array, *,
               counts: jax.Array | None = None,
               block_size: int = 128, use_pallas: bool = True,
-              tile_n: int = 512, precision=None) -> jax.Array:
+              tile_n: int = 512, precision=None, n_buf: int = 4) -> jax.Array:
     """``y[Vpad, N] = A_blocked @ x[Vpad, N]``.
 
     ``N`` is padded internally to a lane multiple; callers see the original
@@ -145,7 +147,7 @@ def bcsr_spmm(data: jax.Array, cols: jax.Array, x: jax.Array, *,
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n)))
     y = _spmm_pallas(data, cols, counts, x, block_size=block_size,
-                     tile_n=tile, precision=precision)
+                     tile_n=tile, precision=precision, n_buf=n_buf)
     return y[:, :n]
 
 
