@@ -68,7 +68,7 @@ def get_parameters(argv=None):
                         choices=["default", "high", "highest"],
                         help="'highest' for parity runs; 'default' (bf16 MXU) for speed")
     parser.add_argument("--graph_op", type=str, default="auto",
-                        choices=["auto", "dense", "bcsr"],
+                        choices=["auto", "dense", "bcsr", "banded"],
                         help="GSO representation: dense MXU matmul or Pallas block-sparse")
     parser.add_argument("--shuffle", type=_str2bool, default=False,
                         help="shuffle training windows (reference keeps False)")
@@ -133,6 +133,17 @@ def build_trainer(cfg: TrainConfig, *, dataset: str, data_root: str = "data",
         gop, partition = sharded_graph_op(art, mesh)
         perm = partition.perm
     else:
+        if graph_op_kind == "banded" or (graph_op_kind == "auto"
+                                         and art.n_vertex > 4096):
+            # sparse kernels want the narrow RCM band; reorder the graph
+            # and, below, the matching sensor columns of the series
+            from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+
+            perm = rcm_ordering(art.matrix)
+            art = type(art)(matrix=permute_matrix(art.matrix, perm),
+                            gso_type=art.gso_type,
+                            cheb_rescaled=art.cheb_rescaled,
+                            lam_max=art.lam_max)
         gop = make_graph_op(art, kind=graph_op_kind)
 
     vel_path = os.path.join(data_root, dataset, "vel.csv")

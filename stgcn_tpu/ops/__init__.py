@@ -8,9 +8,12 @@ exchange for multi-chip runs.
 """
 
 from stgcn_tpu.ops.graph_op import (  # noqa: F401
+    BandedGraphOp,
     BcsrGraphOp,
     DenseGraphOp,
     GraphOp,
+    banded_graph_op,
+    bcsr_graph_op,
     dense_graph_op,
     make_graph_op,
 )

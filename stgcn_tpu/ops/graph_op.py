@@ -95,6 +95,34 @@ class BcsrGraphOp(struct.PyTreeNode):
         return _unfold_from_vn(y, lead_c)
 
 
+class BandedGraphOp(struct.PyTreeNode):
+    """Banded-slab GSO for RCM-ordered road graphs: one dense ``[bs, W]``
+    slab per 128-row block over its column window; applied by the banded
+    Pallas kernel (one coalesced x-window DMA + one MXU matmul per block).
+    Fastest representation when the post-RCM band is narrow (see
+    :mod:`stgcn_tpu.kernels.banded_spmm`)."""
+
+    slabs: jax.Array  # [nbr, bs, W]
+    lo: jax.Array     # [nbr] int32, 128-aligned window starts
+    n_vertex: int = struct.field(pytree_node=False)
+    v_pad: int = struct.field(pytree_node=False)
+    use_pallas: bool = struct.field(pytree_node=False, default=True)
+
+    def __call__(self, x: jax.Array, *, scale: float | jax.Array = 1.0) -> jax.Array:
+        from stgcn_tpu.kernels import banded_spmm as bk
+
+        slabs = self.slabs if isinstance(scale, float) and scale == 1.0 \
+            else self.slabs * scale
+        x_vn, lead_c = _fold_to_vn(x)
+        v = x_vn.shape[0]
+        pad = self.v_pad - v
+        if pad:
+            x_vn = jnp.pad(x_vn, ((0, pad), (0, 0)))
+        y = bk.banded_spmm(slabs, self.lo, x_vn, use_pallas=self.use_pallas)
+        y = y[:v]
+        return _unfold_from_vn(y, lead_c)
+
+
 GraphOp = Any  # structural: anything with .n_vertex and __call__(x, scale=...)
 
 
@@ -115,12 +143,31 @@ def bcsr_graph_op(gso: GraphShiftOperator, *, block_size: int = 128,
                        use_pallas=use_pallas)
 
 
+def banded_graph_op(gso: GraphShiftOperator, *, dtype=jnp.float32,
+                    use_pallas: bool = True) -> BandedGraphOp:
+    from stgcn_tpu.kernels.banded_spmm import pack_banded
+
+    slabs, lo, v_pad = pack_banded(gso.matrix)
+    return BandedGraphOp(slabs=jnp.asarray(slabs, dtype), lo=jnp.asarray(lo),
+                         n_vertex=gso.n_vertex, v_pad=v_pad,
+                         use_pallas=use_pallas)
+
+
 def make_graph_op(gso: GraphShiftOperator, kind: str = "auto", **kw) -> GraphOp:
-    """Pick a representation: dense under ~4k vertices, BCSR above."""
+    """Pick a representation: dense under ~4k vertices; above that the
+    banded-slab kernel when the (assumed RCM-ordered) band is narrow,
+    blocked-ELL otherwise."""
     if kind == "auto":
-        kind = "dense" if gso.n_vertex <= 4096 else "bcsr"
+        if gso.n_vertex <= 4096:
+            kind = "dense"
+        else:
+            from stgcn_tpu.kernels.banded_spmm import banded_viable
+
+            kind = "banded" if banded_viable(gso.matrix) else "bcsr"
     if kind == "dense":
         return dense_graph_op(gso, **kw)
     if kind == "bcsr":
         return bcsr_graph_op(gso, **kw)
+    if kind == "banded":
+        return banded_graph_op(gso, **kw)
     raise ValueError(f"unknown graph-op kind {kind!r}")

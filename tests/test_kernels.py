@@ -135,3 +135,47 @@ def test_large_graph_pack_and_spmm():
                   block_size=128, use_pallas=False)
     row_sums = np.asarray(art.matrix.sum(axis=1)).ravel()
     np.testing.assert_allclose(np.asarray(y)[:n, 0], row_sums, atol=1e-3)
+
+
+def test_banded_pack_and_spmm_matches_dense():
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.kernels.banded_spmm import banded_spmm, banded_viable, pack_banded
+
+    art = make_gso(600, seed=11)
+    m = permute_matrix(art.matrix, rcm_ordering(art.matrix))
+    assert banded_viable(m)
+    slabs, lo, v_pad = pack_banded(m)
+    assert (np.asarray(lo) % 128 == 0).all()
+    rng = np.random.default_rng(12)
+    x = np.zeros((v_pad, 24), np.float32)
+    x[:600] = rng.standard_normal((600, 24))
+    y = banded_spmm(jnp.asarray(slabs), jnp.asarray(lo), jnp.asarray(x),
+                    use_pallas=False)
+    expect = m.toarray() @ x[:600]
+    np.testing.assert_allclose(np.asarray(y)[:600], expect, atol=1e-4)
+
+
+def test_banded_graph_op_matches_dense_op():
+    from stgcn_tpu.graph import build_gso as _bg
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.ops.graph_op import banded_graph_op
+
+    art = make_gso(500, seed=13)
+    # banded op assumes a narrow band: reorder first
+    perm_m = permute_matrix(art.matrix, rcm_ordering(art.matrix))
+    art_p = type(art)(matrix=perm_m, gso_type=art.gso_type,
+                      cheb_rescaled=art.cheb_rescaled, lam_max=art.lam_max)
+    bop = banded_graph_op(art_p, use_pallas=False)
+    dop = dense_graph_op(art_p)
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.standard_normal((2, 3, 500, 16)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(bop(x)), np.asarray(dop(x)), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bop(x, scale=2.0)),
+                               np.asarray(dop(x, scale=2.0)), atol=1e-4)
+
+
+def test_make_graph_op_auto_selection():
+    from stgcn_tpu.ops.graph_op import make_graph_op
+
+    small = make_gso(200, seed=15)
+    assert type(make_graph_op(small)).__name__ == "DenseGraphOp"
