@@ -230,6 +230,9 @@ def main():
     args = ap.parse_args()
 
     train = bench_train_throughput(args.dataset)
+    # BASELINE configs[2]: PEMS-BAY large batch on a single chip
+    train_large = bench_train_throughput(args.dataset, batch_size=512,
+                                         measure_steps=20)
     spmm = None if args.skip_spmm else bench_spmm(n_vertex=args.spmm_vertices)
 
     baseline = None
@@ -254,6 +257,7 @@ def main():
         "unit": "epochs/hr",
         "vs_baseline": round(vs, 3),
         "train": {k: round(v, 6) for k, v in train.items()},
+        "train_large_batch": {k: round(v, 6) for k, v in train_large.items()},
     }
     if spmm:
         out["spmm"] = {k: (round(v, 6) if isinstance(v, float) else v)

@@ -42,13 +42,18 @@ def get_parameters(argv=None):
     parser.add_argument("--time_intvl", type=int, default=5)  # unused downstream, as in reference
     parser.add_argument("--Kt", type=int, default=3)
     parser.add_argument("--stblock_num", type=int, default=2)
-    parser.add_argument("--act_func", type=str, default="glu", choices=["glu", "gtu"])
+    parser.add_argument("--act_func", type=str, default="glu",
+                        choices=["glu", "gtu", "relu", "silu"])  # reference CLI offers glu/gtu; relu/silu exist in its layers (`layers.py:111-115`)
     parser.add_argument("--Ks", type=int, default=3, choices=[3, 2])
     parser.add_argument("--graph_conv_type", type=str, default="cheb_graph_conv",
                         choices=["cheb_graph_conv", "graph_conv"])
     parser.add_argument("--gso_type", type=str, default="sym_norm_lap",
                         choices=["sym_norm_lap", "rw_norm_lap",
-                                 "sym_renorm_adj", "rw_renorm_adj"])
+                                 "sym_renorm_adj", "rw_renorm_adj",
+                                 # extensions: the other 4 types the
+                                 # reference implements but hides (`utility.py:20-55` vs `main.py:52`)
+                                 "sym_norm_adj", "rw_norm_adj",
+                                 "sym_renorm_lap", "rw_renorm_lap"])
     parser.add_argument("--enable_bias", type=_str2bool, default=True)
     parser.add_argument("--droprate", type=float, default=0.5)
     parser.add_argument("--lr", type=float, default=0.001)
@@ -79,6 +84,8 @@ def get_parameters(argv=None):
     parser.add_argument("--log_path", type=str, default=None)
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler device trace here")
+    parser.add_argument("--debug_nans", type=_str2bool, default=False,
+                        help="enable jax NaN checking (slow; debugging aid)")
     return parser.parse_args(argv)
 
 
@@ -193,6 +200,8 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     if args.matmul_precision != "default":
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     cfg = config_from_args(args)
     trainer = build_trainer(cfg, dataset=args.dataset, data_root=args.data_root,
