@@ -39,10 +39,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_train_throughput(dataset="pems-bay", batch_size=32, measure_steps=40):
-    """Steady-state training throughput of the flagship config."""
+def bench_train_throughput(dataset="pems-bay", batch_size=32, measure_epochs=2):
+    """Steady-state training throughput of the flagship config.
+
+    Measures the production path: one jitted lax.scan per epoch (the
+    per-step host round-trips are gone), synced by the epoch-loss readback.
+    """
     import jax
-    import jax.numpy as jnp
 
     from stgcn_tpu.cli.main import build_trainer
     from stgcn_tpu.train.loop import TrainConfig
@@ -52,42 +55,24 @@ def bench_train_throughput(dataset="pems-bay", batch_size=32, measure_steps=40):
     trainer = build_trainer(cfg, dataset=dataset, data_root=os.path.join(ROOT, "data"))
     steps_per_epoch = trainer.steps_per_epoch
     log(f"[train] {dataset}: {trainer.train_ds.num_windows} windows, "
-        f"{steps_per_epoch} steps/epoch, backend={jax.default_backend()}")
-
-    from stgcn_tpu.utils.timing import device_sync
-
-    batches = trainer.train_ds.batches(batch_size)
-    starts, n_valid = next(batches)
-    nv = jnp.asarray(n_valid)
-    rng = jax.random.PRNGKey(0)
-
-    # warmup/compile (sync via readback: block_until_ready is unreliable on
-    # tunneled backends)
-    t0 = time.time()
-    p, o, l = trainer._train_step(trainer.params, trainer.opt_state,
-                                  trainer.train_ds.series, starts, nv, rng)
-    device_sync(l)
-    trainer.params, trainer.opt_state = p, o
-    log(f"[train] compile+first step: {time.time() - t0:.1f}s")
-
-    for _ in range(3):
-        trainer.params, trainer.opt_state, l = trainer._train_step(
-            trainer.params, trainer.opt_state, trainer.train_ds.series,
-            starts, nv, rng)
-    device_sync(l)
+        f"{steps_per_epoch} steps/epoch (batch {batch_size}), "
+        f"backend={jax.default_backend()}")
 
     t0 = time.time()
-    for _ in range(measure_steps):
-        trainer.params, trainer.opt_state, l = trainer._train_step(
-            trainer.params, trainer.opt_state, trainer.train_ds.series,
-            starts, nv, rng)
-    device_sync(l)
-    dt = (time.time() - t0) / measure_steps
-    log(f"[train] steady step: {dt * 1e3:.2f} ms")
+    trainer.train_epoch()  # compile + first epoch
+    log(f"[train] compile+first epoch: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    for _ in range(measure_epochs):
+        trainer.train_epoch()
+    dt_epoch = (time.time() - t0) / measure_epochs
+    dt = dt_epoch / steps_per_epoch
+    log(f"[train] epoch {dt_epoch:.2f}s → step {dt * 1e3:.2f} ms")
     return {
         "step_time_s": dt,
+        "epoch_time_s": dt_epoch,
         "samples_per_s": batch_size / dt,
-        "epochs_per_hr": 3600.0 / (dt * steps_per_epoch),
+        "epochs_per_hr": 3600.0 / dt_epoch,
         "steps_per_epoch": steps_per_epoch,
     }
 
@@ -232,7 +217,7 @@ def main():
     train = bench_train_throughput(args.dataset)
     # BASELINE configs[2]: PEMS-BAY large batch on a single chip
     train_large = bench_train_throughput(args.dataset, batch_size=512,
-                                         measure_steps=20)
+                                         measure_epochs=2)
     spmm = None if args.skip_spmm else bench_spmm(n_vertex=args.spmm_vertices)
 
     baseline = None

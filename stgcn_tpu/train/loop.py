@@ -114,6 +114,7 @@ class Trainer:
         self.epoch = 0
         self.es = EarlyStopping(patience=config.patience, delta=0.0,
                                 on_improvement=lambda _vl: self.ckpt.save_best(self.params))
+        self._plan_cache: dict = {}
         self._build_steps()
 
     # ------------------------------------------------------------------ jit
@@ -148,37 +149,117 @@ class Trainer:
             pred = model.apply({"params": params}, x, gop, deterministic=True)
             return pred.reshape(pred.shape[0], -1), y
 
+        dropout_base = self.dropout_base
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_epoch_scanned(params, opt_state, series, starts_mat,
+                                n_valid_vec, idx_vec):
+            """One full epoch as a single compiled lax.scan — one dispatch
+            per epoch instead of one per batch (dispatch latency through
+            the runtime dominates small-graph steps)."""
+
+            def step(carry, inp):
+                params, opt_state = carry
+                starts, n_valid, idx = inp
+                rng = jax.random.fold_in(dropout_base, idx)
+                x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
+
+                def loss_fn(p):
+                    pred = model.apply({"params": p}, x, gop, deterministic=False,
+                                       rngs={"dropout": rng})
+                    pred = pred.reshape(pred.shape[0], -1)
+                    return M.masked_mse(pred, y, n_valid)
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state2 = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state2), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (starts_mat, n_valid_vec, idx_vec))
+            return params, opt_state, losses
+
+        @jax.jit
+        def eval_scanned(params, series, starts_mat, n_valid_vec):
+            def step(_, inp):
+                starts, n_valid = inp
+                x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
+                pred = model.apply({"params": params}, x, gop, deterministic=True)
+                pred = pred.reshape(pred.shape[0], -1)
+                return None, M.masked_mse(pred, y, n_valid)
+
+            _, losses = jax.lax.scan(step, None, (starts_mat, n_valid_vec))
+            return losses
+
+        @jax.jit
+        def metrics_scanned(params, series, starts_mat, n_valid_vec, mean, scale):
+            def step(acc, inp):
+                starts, n_valid = inp
+                x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
+                pred = model.apply({"params": params}, x, gop, deterministic=True)
+                pred = pred.reshape(pred.shape[0], -1)
+                pred = pred * scale + mean
+                y = y * scale + mean
+                stats = M.batch_abs_stats(pred, y, n_valid)
+                return tuple(a + s for a, s in zip(acc, stats)), None
+
+            zero = jnp.zeros((), jnp.float32)
+            acc, _ = jax.lax.scan(step, (zero,) * 5, (starts_mat, n_valid_vec))
+            return acc
+
         self._train_step = train_step
         self._eval_loss_step = eval_loss_step
         self._predict_step = predict_step
+        self._train_epoch_scanned = train_epoch_scanned
+        self._eval_scanned = eval_scanned
+        self._metrics_scanned = metrics_scanned
+
+    # ------------------------------------------------------------ batch plans
+    def _epoch_plan(self, ds: ForecastDataset, *, shuffle: bool = False,
+                    rng=None) -> tuple[jax.Array, jax.Array]:
+        """Stack a split's batches into [n_steps, B] starts + [n_steps] valid."""
+        key = id(ds)
+        if not shuffle and key in self._plan_cache:
+            return self._plan_cache[key]
+        starts_l, valid_l = [], []
+        for starts, n_valid in ds.batches(self.cfg.batch_size, shuffle=shuffle,
+                                          rng=rng):
+            starts_l.append(np.asarray(starts))
+            valid_l.append(n_valid)
+        starts_mat = jnp.asarray(np.stack(starts_l))
+        n_valid_vec = jnp.asarray(np.asarray(valid_l, np.int32))
+        if self._data_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            starts_mat = jax.device_put(
+                starts_mat, NamedSharding(self.mesh, P(None, "data")))
+        if not shuffle:
+            self._plan_cache[key] = (starts_mat, n_valid_vec)
+        return starts_mat, n_valid_vec
 
     # ----------------------------------------------------------------- loops
     def train_epoch(self) -> float:
         cfg = self.cfg
         shuffle_rng = np.random.default_rng(cfg.seed + self.epoch) if cfg.shuffle else None
-        losses, weights = [], []
-        step = self.epoch * self.steps_per_epoch
-        for starts, n_valid in self.train_ds.batches(cfg.batch_size,
-                                                     shuffle=cfg.shuffle,
-                                                     rng=shuffle_rng):
-            if self._data_sharding is not None:
-                starts = jax.device_put(starts, self._data_sharding)
-            rng = jax.random.fold_in(self.dropout_base, step)
-            self.params, self.opt_state, loss = self._train_step(
-                self.params, self.opt_state, self.train_ds.series,
-                starts, jnp.asarray(n_valid), rng)
-            losses.append(loss)
-            weights.append(n_valid)
-            step += 1
-        losses = np.asarray(jax.device_get(jnp.stack(losses)))
-        weights = np.asarray(weights, dtype=np.float64)
+        starts_mat, n_valid_vec = self._epoch_plan(self.train_ds,
+                                                   shuffle=cfg.shuffle,
+                                                   rng=shuffle_rng)
+        step0 = self.epoch * self.steps_per_epoch
+        idx_vec = jnp.arange(step0, step0 + starts_mat.shape[0])
+        self.params, self.opt_state, losses = self._train_epoch_scanned(
+            self.params, self.opt_state, self.train_ds.series,
+            starts_mat, n_valid_vec, idx_vec)
+        losses = np.asarray(jax.device_get(losses))
+        weights = np.asarray(jax.device_get(n_valid_vec), dtype=np.float64)
         return float((losses * weights).sum() / weights.sum())
 
     def validate(self) -> float:
-        return M.evaluate_mse(
-            lambda starts, n_valid: self._eval_loss_step(
-                self.params, self.val_ds.series, starts, jnp.asarray(n_valid)),
-            self.val_ds, self.cfg.batch_size)
+        starts_mat, n_valid_vec = self._epoch_plan(self.val_ds)
+        losses = np.asarray(jax.device_get(
+            self._eval_scanned(self.params, self.val_ds.series,
+                               starts_mat, n_valid_vec)))
+        weights = np.asarray(jax.device_get(n_valid_vec), dtype=np.float64)
+        return float((losses * weights).sum() / weights.sum())
 
     def current_lr(self) -> float:
         return float(self.lr_schedule(self.epoch * self.steps_per_epoch))
@@ -225,13 +306,19 @@ class Trainer:
     def test(self, *, use_best: bool = True, log: bool = True) -> dict:
         params = self.ckpt.restore_best(self.params) \
             if use_best and self.ckpt.has_best() else self.params
-        mse = M.evaluate_mse(
-            lambda starts, n_valid: self._eval_loss_step(
-                params, self.test_ds.series, starts, jnp.asarray(n_valid)),
-            self.test_ds, self.cfg.batch_size)
-        mets = M.evaluate_metrics(
-            lambda starts: self._predict_step(params, self.test_ds.series, starts),
-            self.test_ds, self.scaler, self.cfg.batch_size)
+        starts_mat, n_valid_vec = self._epoch_plan(self.test_ds)
+        losses = np.asarray(jax.device_get(
+            self._eval_scanned(params, self.test_ds.series, starts_mat, n_valid_vec)))
+        weights = np.asarray(jax.device_get(n_valid_vec), dtype=np.float64)
+        mse = float((losses * weights).sum() / weights.sum())
+
+        sums = self._metrics_scanned(
+            params, self.test_ds.series, starts_mat, n_valid_vec,
+            jnp.asarray(self.scaler.mean_, jnp.float32),
+            jnp.asarray(self.scaler.scale_, jnp.float32))
+        s_abs, s_sq, s_ape, s_y, count = [float(s) for s in sums]
+        mets = {"MAE": s_abs / count, "RMSE": (s_sq / count) ** 0.5,
+                "WMAPE": s_abs / s_y, "MAPE": s_ape / count}
         if log:
             print(f"Dataset {self.cfg.dataset_name:s} | Test loss {mse:.6f} "
                   f"| MAE {mets['MAE']:.6f} | RMSE {mets['RMSE']:.6f} "
