@@ -39,7 +39,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_train_throughput(dataset="pems-bay", batch_size=32, measure_epochs=2):
+def bench_train_throughput(dataset="pems-bay", batch_size=32, measure_epochs=2,
+                           compute_dtype=None):
     """Steady-state training throughput of the flagship config.
 
     Measures the production path: one jitted lax.scan per epoch (the
@@ -51,12 +52,13 @@ def bench_train_throughput(dataset="pems-bay", batch_size=32, measure_epochs=2):
     from stgcn_tpu.train.loop import TrainConfig
 
     cfg = TrainConfig(batch_size=batch_size, droprate=0.5,
+                      compute_dtype=compute_dtype,
                       ckpt_dir="/tmp/bench_ckpt", dataset_name=dataset)
     trainer = build_trainer(cfg, dataset=dataset, data_root=os.path.join(ROOT, "data"))
     steps_per_epoch = trainer.steps_per_epoch
     log(f"[train] {dataset}: {trainer.train_ds.num_windows} windows, "
-        f"{steps_per_epoch} steps/epoch (batch {batch_size}), "
-        f"backend={jax.default_backend()}")
+        f"{steps_per_epoch} steps/epoch (batch {batch_size}, "
+        f"{compute_dtype or 'float32'}), backend={jax.default_backend()}")
 
     t0 = time.time()
     trainer.train_epoch()  # compile + first epoch
@@ -217,7 +219,8 @@ def main():
     train = bench_train_throughput(args.dataset)
     # BASELINE configs[2]: PEMS-BAY large batch on a single chip
     train_large = bench_train_throughput(args.dataset, batch_size=512,
-                                         measure_epochs=2)
+                                         measure_epochs=2,
+                                         compute_dtype="bfloat16")
     spmm = None if args.skip_spmm else bench_spmm(n_vertex=args.spmm_vertices)
 
     baseline = None

@@ -86,6 +86,9 @@ def get_parameters(argv=None):
                         help="capture a jax.profiler device trace here")
     parser.add_argument("--debug_nans", type=_str2bool, default=False,
                         help="enable jax NaN checking (slow; debugging aid)")
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="bfloat16 = mixed-precision training (f32 params/LN)")
     return parser.parse_args(argv)
 
 
@@ -106,6 +109,7 @@ def config_from_args(args) -> TrainConfig:
         batch_size=args.batch_size, epochs=args.epochs, opt=args.opt,
         step_size=args.step_size, gamma=args.gamma, patience=args.patience,
         seed=args.seed, shuffle=args.shuffle,
+        compute_dtype=None if args.compute_dtype == "float32" else args.compute_dtype,
         ckpt_dir=args.ckpt_dir or f"checkpoints/STGCN_{args.dataset}",
         log_path=args.log_path, dataset_name=args.dataset,
     )
@@ -185,7 +189,8 @@ def build_trainer(cfg: TrainConfig, *, dataset: str, data_root: str = "data",
     model = STGCN(n_his=cfg.n_his, kt=cfg.kt, ks=cfg.ks,
                   stblock_num=cfg.stblock_num, act_func=cfg.act_func,
                   graph_conv_type=cfg.graph_conv_type, use_bias=cfg.enable_bias,
-                  droprate=cfg.droprate)
+                  droprate=cfg.droprate,
+                  dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
     return Trainer(cfg, model, gop, mk(train), mk(val), mk(test), scaler,
                    mesh=mesh)
 

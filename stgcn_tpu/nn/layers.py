@@ -33,6 +33,7 @@ class Align(nn.Module):
     1×1 conv when shrinking, zero-pad channels when growing, identity else."""
 
     c_out: int
+    dtype: Any = None  # compute dtype (params stay f32); None = f32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -40,6 +41,7 @@ class Align(nn.Module):
         if c_in > self.c_out:
             x = nn.Dense(
                 self.c_out,
+                dtype=self.dtype,
                 kernel_init=tinit.dense_kernel_init,
                 bias_init=tinit.dense_bias_init(c_in),
                 name="align_conv",
@@ -63,12 +65,16 @@ class CausalConv(nn.Module):
     kt: int
     causal_pad: bool = False
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c_in = x.shape[-1]
         kernel = self.param("kernel", tinit.conv_kernel_init,
                             (self.kt, 1, c_in, self.c_out))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         if self.causal_pad:
             x = jnp.pad(x, ((0, 0), (self.kt - 1, 0), (0, 0), (0, 0)))
         y = jax.lax.conv_general_dilated(
@@ -79,7 +85,7 @@ class CausalConv(nn.Module):
         if self.use_bias:
             bias = self.param("bias", tinit.conv_bias_init(c_in, self.kt),
                               (self.c_out,))
-            y = y + bias
+            y = y + (bias.astype(self.dtype) if self.dtype is not None else bias)
         return y
 
 
@@ -95,16 +101,17 @@ class TemporalConvLayer(nn.Module):
     kt: int
     c_out: int
     act_func: str = "glu"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.act_func not in ACTIVATIONS:
             raise NotImplementedError(
                 f"activation {self.act_func!r} not implemented; expected {ACTIVATIONS}")
-        x_in = Align(self.c_out, name="align")(x)[:, self.kt - 1:, :, :]
+        x_in = Align(self.c_out, dtype=self.dtype, name="align")(x)[:, self.kt - 1:, :, :]
         gated = self.act_func in ("glu", "gtu")
         y = CausalConv(2 * self.c_out if gated else self.c_out, self.kt,
-                       name="causal_conv")(x)
+                       dtype=self.dtype, name="causal_conv")(x)
         if gated:
             x_p = y[..., : self.c_out]
             x_q = y[..., self.c_out:]
@@ -130,6 +137,7 @@ class ChebGraphConv(nn.Module):
     c_out: int
     ks: int
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, gop: Any) -> jax.Array:
@@ -140,6 +148,9 @@ class ChebGraphConv(nn.Module):
         weight = self.param("weight",
                             tinit.uniform_fan(tinit.torch_fan_in((self.ks, c_in, self.c_out))),
                             (self.ks, c_in, self.c_out))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            weight = weight.astype(self.dtype)
 
         t_prev2 = x
         out = jnp.einsum("...vi,io->...vo", t_prev2, weight[0])
@@ -155,7 +166,7 @@ class ChebGraphConv(nn.Module):
             bias = self.param("bias",
                               tinit.uniform_fan(tinit.torch_fan_in((self.ks, c_in, self.c_out))),
                               (self.c_out,))
-            out = out + bias
+            out = out + (bias.astype(self.dtype) if self.dtype is not None else bias)
         return out
 
 
@@ -164,6 +175,7 @@ class GraphConv(nn.Module):
 
     c_out: int
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, gop: Any) -> jax.Array:
@@ -172,12 +184,15 @@ class GraphConv(nn.Module):
         weight = self.param("weight",
                             tinit.uniform_fan(tinit.torch_fan_in((c_in, self.c_out))),
                             (c_in, self.c_out))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            weight = weight.astype(self.dtype)
         out = jnp.einsum("...vi,io->...vo", gop(x), weight)
         if self.use_bias:
             bias = self.param("bias",
                               tinit.uniform_fan(tinit.torch_fan_in((c_in, self.c_out))),
                               (self.c_out,))
-            out = out + bias
+            out = out + (bias.astype(self.dtype) if self.dtype is not None else bias)
         return out
 
 
@@ -190,15 +205,17 @@ class GraphConvLayer(nn.Module):
     c_out: int
     ks: int
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, gop: Any) -> jax.Array:
-        x_in = Align(self.c_out, name="align")(x)
+        x_in = Align(self.c_out, dtype=self.dtype, name="align")(x)
         if self.graph_conv_type == "cheb_graph_conv":
             x_gc = ChebGraphConv(self.c_out, self.ks, self.use_bias,
-                                 name="cheb_graph_conv")(x_in, gop)
+                                 dtype=self.dtype, name="cheb_graph_conv")(x_in, gop)
         elif self.graph_conv_type == "graph_conv":
-            x_gc = GraphConv(self.c_out, self.use_bias, name="graph_conv")(x_in, gop)
+            x_gc = GraphConv(self.c_out, self.use_bias, dtype=self.dtype,
+                             name="graph_conv")(x_in, gop)
         else:
             raise ValueError(f"unknown graph_conv_type {self.graph_conv_type!r}")
         return x_gc + x_in
@@ -215,19 +232,22 @@ class STConvBlock(nn.Module):
     graph_conv_type: str
     use_bias: bool = True
     droprate: float = 0.5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, gop: Any, *, deterministic: bool = True) -> jax.Array:
         x = TemporalConvLayer(self.kt, self.channels[0], self.act_func,
-                              name="tmp_conv1")(x)
+                              dtype=self.dtype, name="tmp_conv1")(x)
         x = GraphConvLayer(self.graph_conv_type, self.channels[1], self.ks,
-                           self.use_bias, name="graph_conv")(x, gop)
+                           self.use_bias, dtype=self.dtype, name="graph_conv")(x, gop)
         x = jax.nn.relu(x)
         x = TemporalConvLayer(self.kt, self.channels[2], self.act_func,
-                              name="tmp_conv2")(x)
-        # torch LayerNorm([n_vertex, c]) normalizes jointly over (V, C)
+                              dtype=self.dtype, name="tmp_conv2")(x)
+        # torch LayerNorm([n_vertex, c]) normalizes jointly over (V, C);
+        # statistics always in f32 for stability under bf16 compute
         x = nn.LayerNorm(epsilon=1e-12, reduction_axes=(-2, -1),
-                         feature_axes=(-2, -1), name="ln")(x)
+                         feature_axes=(-2, -1), dtype=self.dtype,
+                         name="ln")(x.astype(jnp.float32) if self.dtype is not None else x)
         x = nn.Dropout(self.droprate, deterministic=deterministic)(x)
         return x
 
@@ -242,20 +262,22 @@ class OutputBlock(nn.Module):
     act_func: str
     use_bias: bool = True
     droprate: float = 0.5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         x = TemporalConvLayer(self.ko, self.channels[0], self.act_func,
-                              name="tmp_conv1")(x)
+                              dtype=self.dtype, name="tmp_conv1")(x)
         x = nn.LayerNorm(epsilon=1e-12, reduction_axes=(-2, -1),
-                         feature_axes=(-2, -1), name="ln")(x)
-        x = nn.Dense(self.channels[1], use_bias=self.use_bias,
+                         feature_axes=(-2, -1), dtype=self.dtype,
+                         name="ln")(x.astype(jnp.float32) if self.dtype is not None else x)
+        x = nn.Dense(self.channels[1], use_bias=self.use_bias, dtype=self.dtype,
                      kernel_init=tinit.dense_kernel_init,
                      bias_init=tinit.dense_bias_init(self.channels[0]),
                      name="fc1")(x)
         x = jax.nn.relu(x)
         x = nn.Dropout(self.droprate, deterministic=deterministic)(x)
-        x = nn.Dense(self.end_channel, use_bias=self.use_bias,
+        x = nn.Dense(self.end_channel, use_bias=self.use_bias, dtype=self.dtype,
                      kernel_init=tinit.dense_kernel_init,
                      bias_init=tinit.dense_bias_init(self.channels[1]),
                      name="fc2")(x)

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from stgcn_tpu.nn import init as tinit
@@ -60,6 +61,7 @@ class STGCN(nn.Module):
     graph_conv_type: str = "cheb_graph_conv"
     use_bias: bool = True
     droprate: float = 0.5
+    dtype: Any = None  # compute dtype (bf16 mixed precision); params stay f32
 
     def _plan(self) -> tuple[list[list[int]], int]:
         ko = compute_ko(self.n_his, self.kt, self.stblock_num)
@@ -84,14 +86,14 @@ class STGCN(nn.Module):
                 kt=self.kt, ks=self.ks, channels=tuple(blocks[l + 1]),
                 act_func=self.act_func, graph_conv_type=self.graph_conv_type,
                 use_bias=self.use_bias, droprate=self.droprate,
-                name=f"st_block_{l}",
+                dtype=self.dtype, name=f"st_block_{l}",
             )(x, gop, deterministic=deterministic)
 
         if ko > 1:
             x = L.OutputBlock(
                 ko=ko, channels=tuple(blocks[-2]), end_channel=blocks[-1][0],
                 act_func=self.act_func, use_bias=self.use_bias,
-                droprate=self.droprate, name="output",
+                droprate=self.droprate, dtype=self.dtype, name="output",
             )(x, deterministic=deterministic)
         else:  # ko == 0 — fc head (`models.py:38-42,48-51`; dropout defined
             # there but never applied in forward — mirrored here)
@@ -104,4 +106,4 @@ class STGCN(nn.Module):
                          kernel_init=tinit.dense_kernel_init,
                          bias_init=tinit.dense_bias_init(blocks[-2][0]),
                          name="fc2")(x)
-        return x
+        return x.astype(jnp.float32)

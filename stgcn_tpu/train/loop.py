@@ -57,6 +57,7 @@ class TrainConfig:
     patience: int = 10
     seed: int = 42
     shuffle: bool = False  # reference quirk: no shuffling even in training
+    compute_dtype: str | None = None  # 'bfloat16' for mixed-precision training
     # io
     ckpt_dir: str = "checkpoints/run"
     log_path: str | None = None

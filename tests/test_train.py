@@ -210,3 +210,27 @@ def test_fit_early_stops(toy_problem, tmp_path):
     res = tr.test(log=False)
     for k in ["test_mse", "MAE", "RMSE", "WMAPE", "MAPE"]:
         assert np.isfinite(res[k])
+
+
+def test_bf16_mixed_precision_trains(toy_problem, tmp_path):
+    """bf16 compute path: finite losses, close to the f32 trajectory."""
+    art, series, scaler = toy_problem
+    import jax.numpy as jnp_
+
+    def run(dtype):
+        cfg = TrainConfig(n_his=N_HIS, n_pred=N_PRED, droprate=0.0, epochs=2,
+                          seed=3, compute_dtype=None,
+                          ckpt_dir=str(tmp_path / f"ckpt_{dtype or 'f32'}"),
+                          dataset_name="toy")
+        model = STGCN(n_his=N_HIS, droprate=0.0,
+                      dtype=jnp_.bfloat16 if dtype == "bfloat16" else None)
+        gop = dense_graph_op(art)
+        ds = lambda a: D.ForecastDataset(jnp.asarray(a), N_HIS, N_PRED)  # noqa: E731
+        tr = Trainer(cfg, model, gop, ds(series), ds(series[:60]),
+                     ds(series[:60]), scaler)
+        return [tr.train_epoch() for _ in range(2)]
+
+    l32 = run(None)
+    l16 = run("bfloat16")
+    assert all(np.isfinite(l16))
+    np.testing.assert_allclose(l16, l32, rtol=0.08)  # bf16-level agreement
