@@ -36,12 +36,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def pack_banded(matrix: sp.spmatrix, *, block_size: int = 128,
-                col_align: int = 128
+                col_align: int = 128, v_pad: int | None = None
                 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Pack an (RCM-ordered) sparse matrix into per-block-row dense slabs.
 
     Returns ``(slabs [nbr, bs, W], lo [nbr] int32 element offsets, v_pad)``.
-    ``lo[i]`` is clamped so ``lo[i] + W <= v_pad``.
+    ``lo[i]`` is clamped so ``lo[i] + W <= v_pad``. Pass ``v_pad`` to force a
+    common padding with another pack (e.g. the transpose).
     """
     csr = sp.csr_matrix(matrix)
     v = csr.shape[0]
@@ -61,7 +62,10 @@ def pack_banded(matrix: sp.spmatrix, *, block_size: int = 128,
     lo_al = (lo // col_align) * col_align
     width = int((hi - lo_al).max())
     w = _round_up(max(width, col_align), col_align)
-    v_pad = _round_up(max(v, w), col_align)
+    if v_pad is None:
+        v_pad = _round_up(max(v, w), col_align)
+    elif v_pad < max(v, w):
+        raise ValueError(f"v_pad={v_pad} too small (need >= {max(v, w)})")
     lo_al = np.minimum(lo_al, v_pad - w)
 
     slabs = np.zeros((nbr, bs, w), np.float32)
@@ -164,6 +168,62 @@ def banded_spmm(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
         x = jnp.pad(x, ((0, 0), (0, n_pad - n)))
     y = _banded_pallas(slabs, lo, x, tile_n=tile, precision=precision)
     return y[:, :n]
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def banded_spmm_vjp(slabs, lo, slabs_t, lo_t, x, block_size=128, use_pallas=True):
+    """Differentiable banded SpMM.
+
+    d/dx runs the banded kernel with the *transpose* pack (``Aᵀ g``);
+    d/dslabs is the banded SDDMM (``g ·ᵀ x`` sampled at the band windows) in
+    jnp form — when the operator is a jit-captured constant (the training
+    path) XLA dead-code-eliminates it.
+    """
+    return banded_spmm(slabs, lo, x, block_size=block_size, use_pallas=use_pallas)
+
+
+def _banded_vjp_fwd(slabs, lo, slabs_t, lo_t, x, block_size, use_pallas):
+    y = banded_spmm(slabs, lo, x, block_size=block_size, use_pallas=use_pallas)
+    return y, (slabs, lo, slabs_t, lo_t, x)
+
+
+def _banded_vjp_bwd(block_size, use_pallas, res, g):
+    slabs, lo, slabs_t, lo_t, x = res
+    v_pad = x.shape[0]
+    g_pad = jnp.pad(g, ((0, v_pad - g.shape[0]), (0, 0))) \
+        if g.shape[0] < v_pad else g
+    dx = banded_spmm(slabs_t, lo_t, g_pad, block_size=block_size,
+                     use_pallas=use_pallas)
+    if dx.shape[0] < v_pad:
+        dx = jnp.pad(dx, ((0, v_pad - dx.shape[0]), (0, 0)))
+    # banded SDDMM: dslab[i] = g_block[i] @ x_window[i]^T  (dead code and
+    # DCE'd when the operator is a jit constant, i.e. in training)
+    nbr, bs, w = slabs.shape
+    idx = lo[:, None] + jnp.arange(w)[None, :]
+    windows = x[idx]  # [nbr, w, n]
+    gb = g.reshape(nbr, bs, -1)
+    dslabs = jnp.einsum("ibn,iwn->ibw", gb, windows,
+                        preferred_element_type=jnp.float32).astype(slabs.dtype)
+    return dslabs, None, None, None, dx
+
+
+banded_spmm_vjp.defvjp(_banded_vjp_fwd, _banded_vjp_bwd)
+
+
+def pack_banded_with_transpose(matrix: sp.spmatrix, *, block_size: int = 128):
+    """Forward + transpose packs (the backward's ``Aᵀ``), with a common
+    ``v_pad`` so x/g buffers are shared."""
+    csr = sp.csr_matrix(matrix)
+    _, _, vp1 = pack_banded(csr, block_size=block_size)
+    _, _, vp2 = pack_banded(csr.T.tocsr(), block_size=block_size)
+    v_pad = max(vp1, vp2)
+    slabs, lo, _ = pack_banded(csr, block_size=block_size, v_pad=v_pad)
+    slabs_t, lo_t, _ = pack_banded(csr.T.tocsr(), block_size=block_size,
+                                   v_pad=v_pad)
+    return slabs, lo, slabs_t, lo_t, v_pad
 
 
 def banded_viable(matrix: sp.spmatrix, *, block_size: int = 128,

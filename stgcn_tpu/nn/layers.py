@@ -246,8 +246,10 @@ class STConvBlock(nn.Module):
         # torch LayerNorm([n_vertex, c]) normalizes jointly over (V, C);
         # statistics always in f32 for stability under bf16 compute
         x = nn.LayerNorm(epsilon=1e-12, reduction_axes=(-2, -1),
-                         feature_axes=(-2, -1), dtype=self.dtype,
-                         name="ln")(x.astype(jnp.float32) if self.dtype is not None else x)
+                         feature_axes=(-2, -1), dtype=jnp.float32,
+                         name="ln")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = nn.Dropout(self.droprate, deterministic=deterministic)(x)
         return x
 
@@ -269,8 +271,10 @@ class OutputBlock(nn.Module):
         x = TemporalConvLayer(self.ko, self.channels[0], self.act_func,
                               dtype=self.dtype, name="tmp_conv1")(x)
         x = nn.LayerNorm(epsilon=1e-12, reduction_axes=(-2, -1),
-                         feature_axes=(-2, -1), dtype=self.dtype,
-                         name="ln")(x.astype(jnp.float32) if self.dtype is not None else x)
+                         feature_axes=(-2, -1), dtype=jnp.float32,
+                         name="ln")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = nn.Dense(self.channels[1], use_bias=self.use_bias, dtype=self.dtype,
                      kernel_init=tinit.dense_kernel_init,
                      bias_init=tinit.dense_bias_init(self.channels[0]),

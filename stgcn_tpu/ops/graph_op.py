@@ -70,6 +70,9 @@ class BcsrGraphOp(struct.PyTreeNode):
     block_data: jax.Array
     block_cols: jax.Array
     block_counts: jax.Array
+    block_data_t: jax.Array
+    block_cols_t: jax.Array
+    block_counts_t: jax.Array
     n_vertex: int = struct.field(pytree_node=False)
     block_size: int = struct.field(pytree_node=False)
     use_pallas: bool = struct.field(pytree_node=False, default=True)
@@ -86,10 +89,12 @@ class BcsrGraphOp(struct.PyTreeNode):
         pad = self.n_vertex_pad - v
         if pad:
             x_vn = jnp.pad(x_vn, ((0, pad), (0, 0)))
-        data = self.block_data if isinstance(scale, float) and scale == 1.0 else self.block_data * scale
-        y = spmm_mod.bcsr_spmm(data, self.block_cols, x_vn,
-                               counts=self.block_counts,
-                               block_size=self.block_size, use_pallas=self.use_pallas)
+        unit = isinstance(scale, float) and scale == 1.0
+        data = self.block_data if unit else self.block_data * scale
+        data_t = self.block_data_t if unit else self.block_data_t * scale
+        y = spmm_mod.bcsr_spmm_vjp(data, self.block_cols, self.block_counts,
+                                   data_t, self.block_cols_t, self.block_counts_t,
+                                   x_vn, self.block_size, self.use_pallas)
         if pad:
             y = y[:v]
         return _unfold_from_vn(y, lead_c)
@@ -102,8 +107,10 @@ class BandedGraphOp(struct.PyTreeNode):
     Fastest representation when the post-RCM band is narrow (see
     :mod:`stgcn_tpu.kernels.banded_spmm`)."""
 
-    slabs: jax.Array  # [nbr, bs, W]
-    lo: jax.Array     # [nbr] int32, 128-aligned window starts
+    slabs: jax.Array    # [nbr, bs, W]
+    lo: jax.Array       # [nbr] int32, 128-aligned window starts
+    slabs_t: jax.Array  # transpose pack (backward's Aᵀ)
+    lo_t: jax.Array
     n_vertex: int = struct.field(pytree_node=False)
     v_pad: int = struct.field(pytree_node=False)
     use_pallas: bool = struct.field(pytree_node=False, default=True)
@@ -111,14 +118,16 @@ class BandedGraphOp(struct.PyTreeNode):
     def __call__(self, x: jax.Array, *, scale: float | jax.Array = 1.0) -> jax.Array:
         from stgcn_tpu.kernels import banded_spmm as bk
 
-        slabs = self.slabs if isinstance(scale, float) and scale == 1.0 \
-            else self.slabs * scale
+        unit = isinstance(scale, float) and scale == 1.0
+        slabs = self.slabs if unit else self.slabs * scale
+        slabs_t = self.slabs_t if unit else self.slabs_t * scale
         x_vn, lead_c = _fold_to_vn(x)
         v = x_vn.shape[0]
         pad = self.v_pad - v
         if pad:
             x_vn = jnp.pad(x_vn, ((0, pad), (0, 0)))
-        y = bk.banded_spmm(slabs, self.lo, x_vn, use_pallas=self.use_pallas)
+        y = bk.banded_spmm_vjp(slabs, self.lo, slabs_t, self.lo_t, x_vn,
+                               128, self.use_pallas)
         y = y[:v]
         return _unfold_from_vn(y, lead_c)
 
@@ -135,20 +144,29 @@ def bcsr_graph_op(gso: GraphShiftOperator, *, block_size: int = 128,
                   dtype=jnp.float32, use_pallas: bool = True) -> BcsrGraphOp:
     from stgcn_tpu.graph.packing import pack_bcsr
 
+    import scipy.sparse as sp
+
     data, cols, counts = pack_bcsr(gso.matrix, block_size=block_size)
+    data_t, cols_t, counts_t = pack_bcsr(sp.csr_matrix(gso.matrix).T.tocsr(),
+                                         block_size=block_size)
     return BcsrGraphOp(block_data=jnp.asarray(data, dtype=dtype),
                        block_cols=jnp.asarray(cols),
                        block_counts=jnp.asarray(counts),
+                       block_data_t=jnp.asarray(data_t, dtype=dtype),
+                       block_cols_t=jnp.asarray(cols_t),
+                       block_counts_t=jnp.asarray(counts_t),
                        n_vertex=gso.n_vertex, block_size=block_size,
                        use_pallas=use_pallas)
 
 
 def banded_graph_op(gso: GraphShiftOperator, *, dtype=jnp.float32,
                     use_pallas: bool = True) -> BandedGraphOp:
-    from stgcn_tpu.kernels.banded_spmm import pack_banded
+    from stgcn_tpu.kernels.banded_spmm import pack_banded_with_transpose
 
-    slabs, lo, v_pad = pack_banded(gso.matrix)
+    slabs, lo, slabs_t, lo_t, v_pad = pack_banded_with_transpose(gso.matrix)
     return BandedGraphOp(slabs=jnp.asarray(slabs, dtype), lo=jnp.asarray(lo),
+                         slabs_t=jnp.asarray(slabs_t, dtype),
+                         lo_t=jnp.asarray(lo_t),
                          n_vertex=gso.n_vertex, v_pad=v_pad,
                          use_pallas=use_pallas)
 

@@ -106,3 +106,37 @@ def test_sharded_training_matches_single_device(tmp_path):
     loss_m, val_m = run(mesh, "mesh")
     np.testing.assert_allclose(loss_m, loss_s, rtol=1e-4)
     np.testing.assert_allclose(val_m, val_s, rtol=1e-4)
+
+
+def test_banded_trainer_end_to_end(tmp_path):
+    """build_trainer with graph_op='banded' (RCM reorder + fallback kernel)
+    trains and evaluates finitely, matching the dense-op run closely."""
+    from stgcn_tpu.cli.main import build_trainer
+    from stgcn_tpu.train.loop import TrainConfig
+
+    v, t = 40, 220
+    ds_dir = tmp_path / "toy"
+    ds_dir.mkdir()
+    adj = random_road_graph(v, k_neighbors=4, seed=5)
+    sp.save_npz(ds_dir / "adj.npz", adj.tocoo())
+    vel = generate_synthetic_vel(adj, t, seed=6)
+    header = ",".join(str(i) for i in range(v))
+    np.savetxt(ds_dir / "vel.csv", vel, delimiter=",", header=header,
+               comments="", fmt="%.6f")
+
+    def run(kind, tag):
+        cfg = TrainConfig(n_his=12, n_pred=3, batch_size=8, epochs=1,
+                          droprate=0.0, seed=9,
+                          ckpt_dir=str(tmp_path / f"ck_{tag}"), dataset_name="toy")
+        tr = build_trainer(cfg, dataset="toy", data_root=str(tmp_path),
+                           graph_op_kind=kind)
+        return tr.train_epoch(), tr.validate()
+
+    l_dense, v_dense = run("dense", "dense")
+    l_band, v_band = run("banded", "banded")
+    l_bcsr, v_bcsr = run("bcsr", "bcsr")
+    assert np.isfinite([l_dense, l_band, l_bcsr]).all()
+    # banded path permutes vertices; batch losses are permutation-invariant
+    np.testing.assert_allclose(l_band, l_dense, rtol=1e-4)
+    np.testing.assert_allclose(v_band, v_dense, rtol=1e-4)
+    np.testing.assert_allclose(l_bcsr, l_dense, rtol=1e-4)

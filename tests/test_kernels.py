@@ -179,3 +179,37 @@ def test_make_graph_op_auto_selection():
 
     small = make_gso(200, seed=15)
     assert type(make_graph_op(small)).__name__ == "DenseGraphOp"
+
+
+def test_graph_op_grads_match_dense():
+    """d/dx through BCSR and banded ops vs dense autodiff — on a
+    NON-symmetric GSO (rw_norm_lap) so the transpose pack is exercised."""
+    from stgcn_tpu.graph import build_gso as _bg
+    from stgcn_tpu.graph.gso import GraphShiftOperator
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.ops.graph_op import banded_graph_op
+
+    adj = random_road_graph(300, k_neighbors=5, seed=21)
+    art = _bg(adj, "rw_norm_lap", cheb=True)
+    assert (art.matrix != art.matrix.T).nnz > 0  # genuinely non-symmetric
+    pm = permute_matrix(art.matrix, rcm_ordering(art.matrix))
+    art_p = GraphShiftOperator(matrix=pm, gso_type=art.gso_type,
+                               cheb_rescaled=True, lam_max=art.lam_max)
+
+    dense_op = dense_graph_op(art_p)
+    ops = {
+        "bcsr": bcsr_graph_op(art_p, block_size=64, use_pallas=False),
+        "banded": banded_graph_op(art_p, use_pallas=False),
+    }
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.standard_normal((2, 300, 8)).astype(np.float32))
+
+    def loss(op):
+        return lambda xx: (op(xx, scale=2.0) ** 2).sum()
+
+    g_dense = jax.grad(loss(dense_op))(x)
+    for name, op in ops.items():
+        g = jax.grad(loss(op))(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_dense),
+                                   atol=2e-2, rtol=1e-4,
+                                   err_msg=f"grad mismatch for {name}")
