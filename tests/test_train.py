@@ -234,3 +234,16 @@ def test_bf16_mixed_precision_trains(toy_problem, tmp_path):
     l16 = run("bfloat16")
     assert all(np.isfinite(l16))
     np.testing.assert_allclose(l16, l32, rtol=0.08)  # bf16-level agreement
+
+
+def test_frozen_trajectory_regression(toy_problem, tmp_path):
+    """Golden regression: fixed-seed 2-epoch losses on the toy problem.
+
+    Frozen in round 1 (CPU, matmul precision 'highest'); any change means
+    the numerics changed — intentional changes must update these values.
+    """
+    tr = make_trainer(toy_problem, tmp_path, droprate=0.5, seed=42)
+    losses = [tr.train_epoch() for _ in range(2)]
+    val = tr.validate()
+    np.testing.assert_allclose(losses, [1.56773288, 0.69186213], rtol=1e-5)
+    np.testing.assert_allclose(val, 0.53161915, rtol=1e-5)
