@@ -65,13 +65,15 @@ def _sddmm_pallas(cols: jax.Array, counts: jax.Array, g: jax.Array,
     n = g.shape[1]
     grid = (nbr, max_b, n // tile_n)
 
+    # cols transposed [max_b, nbr]: 2-D SMEM operands pad the minor dim to
+    # 128 lanes; keeping the long axis minor fits the 1 MB SMEM budget
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bs, tile_n), lambda i, k, j, cols_ref, counts_ref: (i, j)),
             pl.BlockSpec((bs, tile_n),
-                         lambda i, k, j, cols_ref, counts_ref: (cols_ref[i, k], j)),
+                         lambda i, k, j, cols_ref, counts_ref: (cols_ref[k, i], j)),
         ],
         out_specs=pl.BlockSpec((1, 1, bs, bs),
                                lambda i, k, j, cols_ref, counts_ref: (i, k, 0, 0)),
@@ -86,7 +88,7 @@ def _sddmm_pallas(cols: jax.Array, counts: jax.Array, g: jax.Array,
             bytes_accessed=g.size * g.dtype.itemsize * 2,
             transcendentals=0,
         ),
-    )(cols, counts, g, x)
+    )(cols.T, counts, g, x)
 
 
 def bcsr_sddmm(cols: jax.Array, g: jax.Array, x: jax.Array, *,
@@ -113,5 +115,14 @@ def bcsr_sddmm(cols: jax.Array, g: jax.Array, x: jax.Array, *,
     if n_pad != n:
         g = jnp.pad(g, ((0, 0), (0, n_pad - n)))
         x = jnp.pad(x, ((0, 0), (0, n_pad - n)))
-    return _sddmm_pallas(cols, counts, g, x, block_size=block_size, tile_n=tile,
-                         precision=precision)
+    # chunk row blocks to bound the scalar-prefetch SMEM footprint
+    chunk = 2048
+    nbr, bs = cols.shape[0], block_size
+    outs = []
+    for s in range(0, nbr, chunk):
+        e = min(s + chunk, nbr)
+        outs.append(_sddmm_pallas(cols[s:e], counts[s:e],
+                                  g[s * bs:e * bs], x,
+                                  block_size=bs, tile_n=tile,
+                                  precision=precision))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

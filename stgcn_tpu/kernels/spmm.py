@@ -54,6 +54,11 @@ def _make_spmm_kernel(bs: int, tile_n: int, max_b: int, precision, n_buf: int):
         count = counts_ref[i]
 
         def get_dma(slot, k):
+            # NOTE: this exact [i, k] in-kernel SMEM read is hardware-
+            # verified; 1-D flattened and transposed variants produced
+            # wrong DMA addresses on v5e. SMEM pads the minor dim to 128
+            # lanes, so the wrapper chunks the grid over row blocks to
+            # keep cols within the 1 MB SMEM budget at large graph sizes.
             col = cols_ref[i, k]
             return pltpu.make_async_copy(
                 x_hbm.at[pl.ds(col * bs, bs), pl.ds(j * tile_n, tile_n)],
@@ -69,15 +74,19 @@ def _make_spmm_kernel(bs: int, tile_n: int, max_b: int, precision, n_buf: int):
 
         def body(k, acc):
             slot = k % n_buf
+            get_dma(slot, k).wait()
+            acc = acc + jnp.dot(data_ref[0, k], x_buf[slot],
+                                preferred_element_type=jnp.float32,
+                                precision=precision)
 
+            # refill this slot only AFTER its contents were consumed by the
+            # dot above — issuing before the wait would race the in-flight
+            # read (observed as wrong DMA data on v5e)
             @pl.when(k + n_buf < count)
             def _next():
                 get_dma(slot, k + n_buf).start()
 
-            get_dma(slot, k).wait()
-            return acc + jnp.dot(data_ref[0, k], x_buf[slot],
-                                 preferred_element_type=jnp.float32,
-                                 precision=precision)
+            return acc
 
         acc = lax.fori_loop(0, count, body,
                             jnp.zeros((bs, tile_n), jnp.float32),
@@ -146,8 +155,17 @@ def bcsr_spmm(data: jax.Array, cols: jax.Array, x: jax.Array, *,
     n_pad = _round_up(n, tile)
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n)))
-    y = _spmm_pallas(data, cols, counts, x, block_size=block_size,
-                     tile_n=tile, precision=precision, n_buf=n_buf)
+    # chunk row blocks so the scalar-prefetched cols (padded to 128 lanes
+    # in SMEM) stay under the 1 MB SMEM budget
+    chunk = 1024
+    nbr = cols.shape[0]
+    ys = []
+    for s in range(0, nbr, chunk):
+        e = min(s + chunk, nbr)
+        ys.append(_spmm_pallas(data[s:e], cols[s:e], counts[s:e], x,
+                               block_size=block_size, tile_n=tile,
+                               precision=precision, n_buf=n_buf))
+    y = ys[0] if len(ys) == 1 else jnp.concatenate(ys, axis=0)
     return y[:, :n]
 
 
