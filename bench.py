@@ -103,11 +103,12 @@ def bench_spmm(n_vertex=100_000, k_neighbors=8, n_feat=128, measure=20):
     log(f"[spmm] V={n_vertex} nnz={nnz} packed {data.shape} "
         f"({time.time() - t0:.1f}s host prep)")
 
-    data_j = jnp.asarray(data, jnp.float32)
+    data_j = jnp.asarray(data, jnp.bfloat16)  # production dtype for the sparse path
     cols_j = jnp.asarray(cols)
     counts_j = jnp.asarray(counts)
     x = jnp.asarray(np.random.default_rng(1)
-                    .standard_normal((data.shape[0] * 128, n_feat)).astype(np.float32))
+                    .standard_normal((data.shape[0] * 128, n_feat)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
     spmm_j = jax.jit(functools.partial(bcsr_spmm, block_size=128))
 
     y = spmm_j(data_j, cols_j, x, counts=counts_j)
@@ -124,8 +125,8 @@ def bench_spmm(n_vertex=100_000, k_neighbors=8, n_feat=128, measure=20):
     slabs, lo, v_pad = pack_banded(m)
     slabs_j = jnp.asarray(slabs, jnp.bfloat16)
     lo_j = jnp.asarray(lo)
-    x_band = jnp.pad(x, ((0, v_pad - x.shape[0]), (0, 0))).astype(jnp.bfloat16) \
-        if v_pad > x.shape[0] else x[:v_pad].astype(jnp.bfloat16)
+    x_band = jnp.pad(x, ((0, v_pad - x.shape[0]), (0, 0))) \
+        if v_pad > x.shape[0] else x[:v_pad]
     banded_j = jax.jit(banded_spmm)
     yb = banded_j(slabs_j, lo_j, x_band)
     device_sync(yb)
@@ -142,6 +143,7 @@ def bench_spmm(n_vertex=100_000, k_neighbors=8, n_feat=128, measure=20):
     peak = PEAK_FLOPS.get(device_kind, PEAK_FLOPS.get(jax.default_backend(), 197e12))
     hbm_peak = 819e9 if "v5 lite" in device_kind or "v5e" in device_kind else 1200e9
     banded_bytes = (slabs_j.size + slabs.shape[0] * slabs.shape[2] * n_feat) * 2
+    ell_bytes = (int(counts.sum()) * (128 * 128 + 128 * n_feat)) * 2
     best_dt = min(dt, dt_banded)
     res = {
         "spmm_time_s": best_dt,
@@ -153,6 +155,8 @@ def bench_spmm(n_vertex=100_000, k_neighbors=8, n_feat=128, measure=20):
         "mxu_roofline_frac": (block_flops / dt) / peak,
         "banded_hbm_gbs": banded_bytes / dt_banded / 1e9,
         "banded_hbm_roofline_frac": (banded_bytes / dt_banded) / hbm_peak,
+        "ell_hbm_gbs": ell_bytes / dt / 1e9,
+        "ell_hbm_roofline_frac": (ell_bytes / dt) / hbm_peak,
         "tile_occupancy": useful_flops / block_flops,
         "device": device_kind,
     }
