@@ -89,6 +89,8 @@ def get_parameters(argv=None):
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="bfloat16 = mixed-precision training (f32 params/LN)")
+    parser.add_argument("--fused", type=_str2bool, default=False,
+                        help="fused ST-block Pallas kernels (dense GSO only)")
     return parser.parse_args(argv)
 
 
@@ -110,6 +112,7 @@ def config_from_args(args) -> TrainConfig:
         step_size=args.step_size, gamma=args.gamma, patience=args.patience,
         seed=args.seed, shuffle=args.shuffle,
         compute_dtype=None if args.compute_dtype == "float32" else args.compute_dtype,
+        fused=args.fused,
         ckpt_dir=args.ckpt_dir or f"checkpoints/STGCN_{args.dataset}",
         log_path=args.log_path, dataset_name=args.dataset,
     )

@@ -9,16 +9,18 @@ single HBM write of the block output. The unfused XLA path round-trips
 block; at PEMS-BAY scale (V=325) the step is HBM-bound, so fusing is the
 main single-chip lever.
 
-Design notes (TPU-first):
+Layout design (v2, every choice measured on v5e):
 
-- All tensors inside the kernel are **lists of 2-D ``[V_pad, C]`` values**
-  indexed by ``(batch, time)``; every op is either elementwise (VPU) or a
-  2-D ``dot`` (MXU). This avoids 4-D relayouts entirely — the model's
-  channel counts (16/64/128) live in the lane dimension and V in sublanes.
-- The temporal convs are tap-decomposed: ``s[t] = Σ_k x[t+k] @ K[k]`` —
-  ``kt`` matmuls per output step, no im2col materialization.
-- The Chebyshev recurrence runs in the same list form; ``T_k`` terms are
-  folded into the weight contraction incrementally.
+- Channel-mixing matmuls (temporal-conv taps, aligns, Chebyshev weight
+  contraction) run **row-folded**: ``[tile·T·V_pad, C]`` — one whole-tile
+  MXU dot per tap/weight instead of one per (batch, time) position.
+- The graph matmuls contract over V, so the chain runs in **cv-layout**
+  ``[tile·T·c1, V_pad]`` (vertices in lanes): ``G·x`` for every (b, t, c)
+  is ONE full-width dot ``[N·c1, V]×[V, V]`` at ~peak MXU throughput,
+  versus N per-position ``[V,V]×[V,16]`` dots at ~1/28 of peak (measured:
+  0.70 µs vs 40×0.49 µs at N=40). nm↔cv transposes cost 2-3 µs each
+  (measured); three per chain.
+- Elementwise ops (gates, LayerNorm, dropout) are whole-tile VPU ops.
 - V is padded to a sublane multiple; LayerNorm statistics are masked to the
   true vertex count (padded LN scale/bias rows are zero, so padded output
   rows are exactly zero).
@@ -40,7 +42,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _F32 = jnp.float32
+
+_PRECISIONS = {"default": None, "highest": lax.Precision.HIGHEST}
 
 
 def _round_up(x: int, m: int) -> int:
@@ -104,42 +107,55 @@ class FusedBlockConfig:
 # shared math (runs both inside Pallas kernels and as plain jnp)
 # --------------------------------------------------------------------------
 
-_PRECISIONS = {"default": None, "highest": lax.Precision.HIGHEST}
+def _dot(a, b, prec=None):
+    """Row-folded matmul: [..., K] × [K, N] → [..., N], f32 accumulation."""
+    lead = a.shape[:-1]
+    out = lax.dot_general(a.reshape(-1, a.shape[-1]), b,
+                          (((1,), (0,)), ((), ())),
+                          preferred_element_type=_F32, precision=prec)
+    return out.reshape(*lead, b.shape[-1])
 
 
-def _dot(a: jax.Array, b: jax.Array, prec=None) -> jax.Array:
-    """2-D matmul, f32 accumulation."""
-    return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+def _dot_t_a(a, b, prec=None):
+    """``aᵀ @ b`` over row-folded operands: [..., C1] × [..., C2] → [C1, C2]."""
+    return lax.dot_general(a.reshape(-1, a.shape[-1]),
+                           b.reshape(-1, b.shape[-1]),
+                           (((0,), (0,)), ((), ())),
                            preferred_element_type=_F32, precision=prec)
 
 
-def _dot_t_a(a: jax.Array, b: jax.Array, prec=None) -> jax.Array:
-    """``aᵀ @ b`` without an explicit transpose (contract dim0 × dim0)."""
-    return lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+def _to_cv(x4):
+    """[TB, T, Vp, c] → cv-layout [TB·T·c, Vp] (vertices in lanes)."""
+    tb, t, v, c = x4.shape
+    return jnp.transpose(x4.reshape(tb * t, v, c), (0, 2, 1)).reshape(tb * t * c, v)
+
+
+def _from_cv(x2, tb, t, v, c):
+    """cv-layout [TB·T·c, Vp] → [TB, T, Vp, c]."""
+    return jnp.transpose(x2.reshape(tb * t, c, v), (0, 2, 1)).reshape(tb, t, v, c)
+
+
+def _gmul_cv(x_cv, g_mat, prec=None):
+    """Apply the GSO to every (b, t, channel) row at once:
+    ``out[(n,c), u] = Σ_v G[u, v]·x[(n,c), v]`` — one full-width MXU dot."""
+    return lax.dot_general(x_cv, g_mat, (((1,), (1,)), ((), ())),
                            preferred_element_type=_F32, precision=prec)
 
 
-def _dot_b_t(a: jax.Array, b: jax.Array, prec=None) -> jax.Array:
-    """``a @ bᵀ`` without an explicit transpose (contract dim1 × dim1)."""
-    return lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                           preferred_element_type=_F32, precision=prec)
-
-
-def _pad_channels(x: jax.Array, c_out: int) -> jax.Array:
+def _pad_channels(x4, c_out):
     """Zero-pad channel align (`model/layers.py:17-19`); identity if equal."""
-    c_in = x.shape[-1]
+    c_in = x4.shape[-1]
     if c_in == c_out:
-        return x
+        return x4
     if c_in > c_out:
         raise ValueError("fused block supports c_in <= c_out align only")
-    return jnp.pad(x, ((0, 0), (0, c_out - c_in)))
+    return jnp.pad(x4, ((0, 0),) * (x4.ndim - 1) + ((0, c_out - c_in),))
 
 
-def _gate_fwd(cfg: FusedBlockConfig, s: jax.Array, xin: jax.Array,
-              c: int) -> jax.Array:
+def _gate_fwd(cfg, s, xin, c):
     """Reference gate semantics (`model/layers.py:105,109,111-115`)."""
     if cfg.gated:
-        p, q = s[:, :c], s[:, c:]
+        p, q = s[..., :c], s[..., c:]
         lin = p + xin
         if cfg.act_func == "glu":
             return lin * jax.nn.sigmoid(q)
@@ -150,11 +166,10 @@ def _gate_fwd(cfg: FusedBlockConfig, s: jax.Array, xin: jax.Array,
     return jax.nn.silu(z)
 
 
-def _gate_bwd(cfg: FusedBlockConfig, s: jax.Array, xin: jax.Array,
-              c: int, da: jax.Array) -> tuple[jax.Array, jax.Array]:
+def _gate_bwd(cfg, s, xin, c, da):
     """Returns (ds, dxin)."""
     if cfg.gated:
-        p, q = s[:, :c], s[:, c:]
+        p, q = s[..., :c], s[..., c:]
         lin = p + xin
         sq = jax.nn.sigmoid(q)
         if cfg.act_func == "glu":
@@ -164,7 +179,7 @@ def _gate_bwd(cfg: FusedBlockConfig, s: jax.Array, xin: jax.Array,
             th = jnp.tanh(lin)
             dlin = da * sq * (1.0 - th * th)
             dq = da * th * sq * (1.0 - sq)
-        return jnp.concatenate([dlin, dq], axis=1), dlin
+        return jnp.concatenate([dlin, dq], axis=-1), dlin
     z = s + xin
     if cfg.act_func == "relu":
         dz = da * (z > 0).astype(da.dtype)
@@ -174,217 +189,178 @@ def _gate_bwd(cfg: FusedBlockConfig, s: jax.Array, xin: jax.Array,
     return dz, dz
 
 
-def _tconv_fwd(xs: Sequence[jax.Array], kernel: jax.Array, bias: jax.Array,
-               tb: int, t_in: int, kt: int, prec=None) -> list[jax.Array]:
-    """Tap-decomposed valid temporal conv on a (b, t)-indexed list.
+def _tconv_fwd(x4, kernel, bias, kt, prec=None):
+    """Tap-decomposed valid temporal conv, one whole-tile dot per tap.
+    ``x4``: [TB, T, Vp, c_in]; ``kernel``: [kt, c_in, c_out]."""
+    t_out = x4.shape[1] - kt + 1
+    acc = _dot(x4[:, 0:t_out], kernel[0], prec)
+    for k in range(1, kt):
+        acc = acc + _dot(x4[:, k:k + t_out], kernel[k], prec)
+    return acc + bias
 
-    ``xs[b*t_in + t]`` is ``[V_pad, c_in]``; returns list of length
-    ``tb * (t_in - kt + 1)`` of ``[V_pad, c_out]``.
+
+def _graph_chain_fwd(cfg, g_mat, xg, prec):
+    """Cheb recurrence / 1st-order conv: cv-layout G-dots, nm-layout T_k.
+
+    Returns the list of T_k terms in nm layout ([T_0..T_{ks-1}]); for
+    graph_conv, a single-element list [G·x]. `model/layers.py:146-168`.
     """
-    t_out = t_in - kt + 1
-    out = []
-    for b in range(tb):
-        for t in range(t_out):
-            acc = _dot(xs[b * t_in + t], kernel[0], prec)
-            for k in range(1, kt):
-                acc = acc + _dot(xs[b * t_in + t + k], kernel[k], prec)
-            out.append(acc + bias[None, :])
-    return out
-
-
-def _graph_chain_fwd(cfg: FusedBlockConfig, g_mat: jax.Array,
-                     xg: Sequence[jax.Array], gc_w: jax.Array,
-                     gc_b: jax.Array) -> tuple[list[jax.Array], list[list[jax.Array]]]:
-    """Cheb recurrence / 1st-order conv on the list form.
-
-    Returns (gc outputs, T_k term lists for the backward).
-    `model/layers.py:146-168,194-204`.
-    """
-    n = len(xg)
-    prec = _PRECISIONS[cfg.precision]
-    ts: list[list[jax.Array]] = []
+    tb, t1, v, c1 = xg.shape
+    xg_cv = _to_cv(xg)
     if cfg.graph_conv_type == "graph_conv":
-        t1 = [_dot(g_mat, x, prec) for x in xg]
-        ts.append(t1)
-        out = [_dot(t1[i], gc_w[0], prec) + gc_b[None, :] for i in range(n)]
-        return out, ts
-
-    # cheb: T0 = x, T1 = Gx, Tk = 2G T_{k-1} − T_{k-2}
-    ts.append(list(xg))
-    out = [_dot(xg[i], gc_w[0], prec) for i in range(n)]
+        t1_cv = _gmul_cv(xg_cv, g_mat, prec)
+        return [_from_cv(t1_cv, tb, t1, v, c1)]
+    ts = [xg]
     if cfg.ks >= 2:
-        t1 = [_dot(g_mat, x, prec) for x in xg]
-        ts.append(t1)
-        out = [out[i] + _dot(t1[i], gc_w[1], prec) for i in range(n)]
-        for k in range(2, cfg.ks):
-            tk = [2.0 * _dot(g_mat, ts[k - 1][i], prec) - ts[k - 2][i]
-                  for i in range(n)]
-            ts.append(tk)
-            out = [out[i] + _dot(tk[i], gc_w[k], prec) for i in range(n)]
-    out = [o + gc_b[None, :] for o in out]
-    return out, ts
+        prev2, prev1 = xg_cv, _gmul_cv(xg_cv, g_mat, prec)
+        ts.append(_from_cv(prev1, tb, t1, v, c1))
+        for _ in range(2, cfg.ks):
+            tk = 2.0 * _gmul_cv(prev1, g_mat, prec) - prev2
+            ts.append(_from_cv(tk, tb, t1, v, c1))
+            prev2, prev1 = prev1, tk
+    return ts
 
 
-def _ln_stats(cfg: FusedBlockConfig, a: jax.Array,
-              vmask: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Masked joint (V, C) LayerNorm statistics (`model/layers.py:246`)."""
+def _graph_out(cfg, ts, gcw, gcb, prec):
+    """``Σ_k T_k W_k + b`` over the nm-layout term list."""
+    out = _dot(ts[0], gcw[0], prec)
+    for k in range(1, len(ts)):
+        out = out + _dot(ts[k], gcw[k], prec)
+    return out + gcb
+
+
+def _sum_vc(a):
+    """Sum over the trailing (V, C) dims, keepdims — staged because Mosaic
+    only supports trailing-dim reductions one axis at a time."""
+    return jnp.sum(jnp.sum(a, axis=3, keepdims=True), axis=2, keepdims=True)
+
+
+def _ln_fwd(cfg, a, vmask, lng, lnb):
+    """Masked joint (V, C) LayerNorm (`model/layers.py:246`), per (b, t)."""
     denom = float(cfg.v_true * cfg.c2)
     am = a * vmask
-    mu = jnp.sum(am) / denom
+    mu = _sum_vc(am) / denom
     d = (a - mu) * vmask
-    var = jnp.sum(d * d) / denom
+    var = _sum_vc(d * d) / denom
     rstd = lax.rsqrt(var + 1e-12)
-    return mu, rstd
+    y = ((a - mu) * rstd) * lng + lnb
+    return y, mu, rstd
 
 
-def _forward_pieces(cfg: FusedBlockConfig, g_mat: jax.Array, vmask: jax.Array,
-                    xs: list[jax.Array], w: tuple, drop_masks=None) -> dict:
-    """The full block forward on the list form; returns every intermediate
-    the backward needs. ``drop_masks``: None (no dropout) or a list of
-    pre-scaled keep masks per (b, t2)."""
+def _forward_pieces(cfg, g_mat, vmask, x4, w, drop_mask=None):
+    """Full block forward on [TB, T, Vp, C] arrays; returns every
+    intermediate the backward needs. ``drop_mask``: None or a pre-scaled
+    keep-mask array [TB, t2, Vp, c2]."""
     (c1k, c1b, gaw, gab, gcw, gcb, c2k, c2b, lng, lnb) = w
-    tb, kt = cfg.batch_tile, cfg.kt
+    kt = cfg.kt
     prec = _PRECISIONS[cfg.precision]
 
-    s1 = _tconv_fwd(xs, c1k, c1b, tb, cfg.t_in, kt, prec)
-    xin1 = [_pad_channels(xs[b * cfg.t_in + t + kt - 1], cfg.c0)
-            for b in range(tb) for t in range(cfg.t1)]
-    a1 = [_gate_fwd(cfg, s1[i], xin1[i], cfg.c0) for i in range(len(s1))]
+    s1 = _tconv_fwd(x4, c1k, c1b, kt, prec)
+    xin1 = _pad_channels(x4[:, kt - 1:], cfg.c0)
+    a1 = _gate_fwd(cfg, s1, xin1, cfg.c0)
 
-    xg = [_dot(a, gaw, prec) + gab[None, :] for a in a1]
-    gc, ts = _graph_chain_fwd(cfg, g_mat, xg, gcw, gcb)
-    r = [gc[i] + xg[i] for i in range(len(xg))]
-    h = [jax.nn.relu(x) for x in r]
+    xg = _dot(a1, gaw, prec) + gab
+    ts = _graph_chain_fwd(cfg, g_mat, xg, prec)
+    gc = _graph_out(cfg, ts, gcw, gcb, prec)
+    r = gc + xg
+    h = jax.nn.relu(r)
 
-    s2 = _tconv_fwd(h, c2k, c2b, tb, cfg.t1, kt, prec)
-    xin2 = [_pad_channels(h[b * cfg.t1 + t + kt - 1], cfg.c2)
-            for b in range(tb) for t in range(cfg.t2)]
-    a2 = [_gate_fwd(cfg, s2[i], xin2[i], cfg.c2) for i in range(len(s2))]
+    s2 = _tconv_fwd(h, c2k, c2b, kt, prec)
+    xin2 = _pad_channels(h[:, kt - 1:], cfg.c2)
+    a2 = _gate_fwd(cfg, s2, xin2, cfg.c2)
 
-    y = []
-    stats = []
-    for i, a in enumerate(a2):
-        mu, rstd = _ln_stats(cfg, a, vmask)
-        stats.append((mu, rstd))
-        yi = ((a - mu) * rstd) * lng + lnb
-        if drop_masks is not None:
-            yi = yi * drop_masks[i]
-        y.append(yi)
-    return dict(s1=s1, xin1=xin1, a1=a1, xg=xg, ts=ts, gc=gc, r=r, h=h,
-                s2=s2, xin2=xin2, a2=a2, stats=stats, y=y)
+    y, mu, rstd = _ln_fwd(cfg, a2, vmask, lng, lnb)
+    if drop_mask is not None:
+        y = y * drop_mask
+    return dict(s1=s1, xin1=xin1, a1=a1, xg=xg, ts=ts, r=r, h=h,
+                s2=s2, xin2=xin2, a2=a2, mu=mu, rstd=rstd, y=y)
 
 
-def _backward_pieces(cfg: FusedBlockConfig, g_mat: jax.Array,
-                     gt_mat: jax.Array, vmask: jax.Array,
-                     xs: list[jax.Array], w: tuple, fw: dict,
-                     gys: list[jax.Array], drop_masks=None) -> dict:
-    """Hand-derived chain rule over the list form. Returns dx list plus
+def _shift_pad_t(y4, k, t_total):
+    """Place a [TB, T_out, ...] contribution at time offset ``k`` inside a
+    [TB, t_total, ...] accumulator (transpose of a valid-conv tap slice)."""
+    t_out = y4.shape[1]
+    return jnp.pad(y4, ((0, 0), (k, t_total - t_out - k), (0, 0), (0, 0)))
+
+
+def _tconv_bwd(x4, ds, kernel, kt, prec):
+    """Backward of the tap-decomposed conv: returns (dkernel, dbias, dx)."""
+    t_out = ds.shape[1]
+    t_total = x4.shape[1]
+    dk = jnp.stack([_dot_t_a(x4[:, k:k + t_out], ds, prec)
+                    for k in range(kt)])
+    db = jnp.sum(ds, axis=(0, 1, 2))
+    dx = _shift_pad_t(_dot(ds, kernel[0].T, prec), 0, t_total)
+    for k in range(1, kt):
+        dx = dx + _shift_pad_t(_dot(ds, kernel[k].T, prec), k, t_total)
+    return dk, db, dx
+
+
+def _backward_pieces(cfg, g_mat, gt_mat, vmask, x4, w, fw, gy, drop_mask=None):
+    """Hand-derived chain rule over whole-tile arrays. Returns dx plus
     per-weight gradient contributions (summed over this tile)."""
     (c1k, c1b, gaw, gab, gcw, gcb, c2k, c2b, lng, lnb) = w
-    tb, kt = cfg.batch_tile, cfg.kt
+    kt = cfg.kt
     prec = _PRECISIONS[cfg.precision]
-    n1 = tb * cfg.t1
+    tb, t1 = x4.shape[0], cfg.t1
     denom = float(cfg.v_true * cfg.c2)
 
-    dlng = jnp.zeros_like(lng)
-    dlnb = jnp.zeros_like(lnb)
-    da2 = []
-    for i, gy in enumerate(gys):
-        if drop_masks is not None:
-            gy = gy * drop_masks[i]
-        a = fw["a2"][i]
-        mu, rstd = fw["stats"][i]
-        xhat = (a - mu) * rstd * vmask
-        dlng = dlng + gy * xhat
-        dlnb = dlnb + gy
-        gd = gy * lng
-        m1 = jnp.sum(gd * vmask) / denom
-        m2 = jnp.sum(gd * xhat) / denom
-        da2.append(rstd * (gd - m1 - xhat * m2) * vmask)
+    # LN (+ dropout) backward
+    if drop_mask is not None:
+        gy = gy * drop_mask
+    xhat = (fw["a2"] - fw["mu"]) * fw["rstd"] * vmask
+    dlng = jnp.sum(gy * xhat, axis=(0, 1))
+    dlnb = jnp.sum(gy, axis=(0, 1))
+    gd = gy * lng
+    m1 = _sum_vc(gd * vmask) / denom
+    m2 = _sum_vc(gd * xhat) / denom
+    da2 = fw["rstd"] * (gd - m1 - xhat * m2) * vmask
 
     # temporal gate 2 backward
-    ds2, dxin2 = [], []
-    for i in range(len(da2)):
-        ds, dxin = _gate_bwd(cfg, fw["s2"][i], fw["xin2"][i], cfg.c2, da2[i])
-        ds2.append(ds)
-        dxin2.append(dxin)
-
-    dc2k_taps = [jnp.zeros(c2k.shape[1:], _F32) for _ in range(kt)]
-    dc2b = sum(jnp.sum(d, axis=0) for d in ds2)
-    dh = [jnp.zeros((cfg.v_pad, cfg.c1), _F32) for _ in range(n1)]
-    for b in range(tb):
-        for t in range(cfg.t2):
-            i = b * cfg.t2 + t
-            for k in range(kt):
-                j = b * cfg.t1 + t + k
-                dc2k_taps[k] = dc2k_taps[k] + _dot_t_a(fw["h"][j], ds2[i], prec)
-                dh[j] = dh[j] + _dot_b_t(ds2[i], c2k[k], prec)
-            j_res = b * cfg.t1 + t + kt - 1
-            dh[j_res] = dh[j_res] + dxin2[i][:, : cfg.c1]
-    dc2k = jnp.stack(dc2k_taps)
+    ds2, dxin2 = _gate_bwd(cfg, fw["s2"], fw["xin2"], cfg.c2, da2)
+    dc2k, dc2b, dh = _tconv_bwd(fw["h"], ds2, c2k, kt, prec)
+    dh = dh + _shift_pad_t(dxin2[..., : cfg.c1], kt - 1, t1)
 
     # relu + residual split
-    dr = [dh[i] * (fw["r"][i] > 0).astype(_F32) for i in range(n1)]
+    dr = dh * (fw["r"] > 0).astype(_F32)
     dgc = dr
-    dxg = [d for d in dr]  # residual branch
 
-    # graph chain backward
-    n_w = gcw.shape[0]
-    dgcw_terms = [jnp.zeros(gcw.shape[1:], _F32) for _ in range(n_w)]
-    dgcb = sum(jnp.sum(d, axis=0) for d in dgc)
+    # graph chain backward (adjoint recurrence in cv-layout)
     ts = fw["ts"]
+    dgcb = jnp.sum(dgc, axis=(0, 1, 2))
+    dxg = dr  # residual branch
     if cfg.graph_conv_type == "graph_conv":
-        for i in range(n1):
-            dgcw_terms[0] = dgcw_terms[0] + _dot_t_a(ts[0][i], dgc[i], prec)
-            dt1 = _dot_b_t(dgc[i], gcw[0], prec)
-            dxg[i] = dxg[i] + _dot(gt_mat, dt1, prec)
+        dgcw = _dot_t_a(ts[0], dgc, prec)[None]
+        dt1_cv = _to_cv(_dot(dgc, gcw[0].T, prec))
+        dxg = dxg + _from_cv(_gmul_cv(dt1_cv, gt_mat, prec),
+                             tb, t1, cfg.v_pad, cfg.c1)
     else:
-        for i in range(n1):
-            dts = [_dot_b_t(dgc[i], gcw[k], prec) for k in range(cfg.ks)]
-            for k in range(cfg.ks):
-                dgcw_terms[k] = dgcw_terms[k] + _dot_t_a(ts[k][i], dgc[i], prec)
-            if cfg.ks == 1:
-                dxg[i] = dxg[i] + dts[0]
-                continue
+        dgcw = jnp.stack([_dot_t_a(ts[k], dgc, prec)
+                          for k in range(cfg.ks)])
+        dts_cv = [_to_cv(_dot(dgc, gcw[k].T, prec))
+                  for k in range(cfg.ks)]
+        if cfg.ks == 1:
+            dxg = dxg + _from_cv(dts_cv[0], tb, t1, cfg.v_pad, cfg.c1)
+        else:
             # adjoint of T_k = 2 G T_{k-1} − T_{k-2}, then T_1 = G T_0
-            dt_hi = dts[cfg.ks - 1]
-            dt_lo = dts[cfg.ks - 2]
+            dt_hi = dts_cv[cfg.ks - 1]
+            dt_lo = dts_cv[cfg.ks - 2]
             for k in range(cfg.ks - 1, 1, -1):
-                dt_lo = dt_lo + 2.0 * _dot(gt_mat, dt_hi, prec)
-                dt_lo2 = dts[k - 2] - dt_hi
+                dt_lo = dt_lo + 2.0 * _gmul_cv(dt_hi, gt_mat, prec)
+                dt_lo2 = dts_cv[k - 2] - dt_hi
                 dt_hi, dt_lo = dt_lo, dt_lo2
-            dxg[i] = dxg[i] + dt_lo + _dot(gt_mat, dt_hi, prec)
-    dgcw = jnp.stack(dgcw_terms)
+            dt0_cv = dt_lo + _gmul_cv(dt_hi, gt_mat, prec)
+            dxg = dxg + _from_cv(dt0_cv, tb, t1, cfg.v_pad, cfg.c1)
 
     # graph align backward
-    dgaw = jnp.zeros_like(gaw)
-    dgab = sum(jnp.sum(d, axis=0) for d in dxg)
-    da1 = []
-    for i in range(n1):
-        dgaw = dgaw + _dot_t_a(fw["a1"][i], dxg[i], prec)
-        da1.append(_dot_b_t(dxg[i], gaw, prec))
+    dgaw = _dot_t_a(fw["a1"], dxg, prec)
+    dgab = jnp.sum(dxg, axis=(0, 1, 2))
+    da1 = _dot(dxg, gaw.T, prec)
 
     # temporal gate 1 backward
-    ds1, dxin1 = [], []
-    for i in range(n1):
-        ds, dxin = _gate_bwd(cfg, fw["s1"][i], fw["xin1"][i], cfg.c0, da1[i])
-        ds1.append(ds)
-        dxin1.append(dxin)
-
-    dc1k_taps = [jnp.zeros(c1k.shape[1:], _F32) for _ in range(kt)]
-    dc1b = sum(jnp.sum(d, axis=0) for d in ds1)
-    dx = [jnp.zeros((cfg.v_pad, cfg.c_in), _F32)
-          for _ in range(tb * cfg.t_in)]
-    for b in range(tb):
-        for t in range(cfg.t1):
-            i = b * cfg.t1 + t
-            for k in range(kt):
-                j = b * cfg.t_in + t + k
-                dc1k_taps[k] = dc1k_taps[k] + _dot_t_a(xs[j], ds1[i], prec)
-                dx[j] = dx[j] + _dot_b_t(ds1[i], c1k[k], prec)
-            j_res = b * cfg.t_in + t + kt - 1
-            dx[j_res] = dx[j_res] + dxin1[i][:, : cfg.c_in]
-    dc1k = jnp.stack(dc1k_taps)
+    ds1, dxin1 = _gate_bwd(cfg, fw["s1"], fw["xin1"], cfg.c0, da1)
+    dc1k, dc1b, dx = _tconv_bwd(x4, ds1, c1k, kt, prec)
+    dx = dx + _shift_pad_t(dxin1[..., : cfg.c_in], kt - 1, cfg.t_in)
 
     return dict(dx=dx, dc1k=dc1k, dc1b=dc1b, dgaw=dgaw, dgab=dgab,
                 dgcw=dgcw, dgcb=dgcb, dc2k=dc2k, dc2b=dc2b,
@@ -395,24 +371,21 @@ def _backward_pieces(cfg: FusedBlockConfig, g_mat: jax.Array,
 # dropout masks (kernel PRNG / reference jax.random)
 # --------------------------------------------------------------------------
 
-def _kernel_drop_masks(cfg: FusedBlockConfig, seed: jax.Array) -> list[jax.Array] | None:
-    """Pre-scaled keep masks regenerated identically in fwd and bwd kernels:
-    seeded by (seed, program_id), drawn in ascending (b, t2) order."""
+def _kernel_drop_mask(cfg, seed):
+    """Pre-scaled keep mask regenerated identically in fwd and bwd kernels:
+    seeded by (seed, program_id)."""
     if not cfg.training or cfg.droprate <= 0.0:
         return None
     pltpu.prng_seed(seed, pl.program_id(0))
     thr = np.uint32(round(cfg.droprate * float(2 ** 32)))
     inv_keep = 1.0 / (1.0 - cfg.droprate)
-    masks = []
-    for _ in range(cfg.batch_tile * cfg.t2):
-        bits = pltpu.bitcast(
-            pltpu.prng_random_bits((cfg.v_pad, cfg.c2)), jnp.uint32)
-        masks.append((bits >= thr).astype(_F32) * inv_keep)
-    return masks
+    bits = pltpu.bitcast(
+        pltpu.prng_random_bits((cfg.batch_tile, cfg.t2, cfg.v_pad, cfg.c2)),
+        jnp.uint32)
+    return (bits >= thr).astype(_F32) * inv_keep
 
 
-def reference_drop_masks(cfg: FusedBlockConfig, rng: jax.Array,
-                         n_total: int) -> jax.Array | None:
+def reference_drop_masks(cfg, rng, n_total):
     """jax.random dropout masks for the pure-jnp path, [B, t2, V_pad, c2]."""
     if not cfg.training or cfg.droprate <= 0.0:
         return None
@@ -425,50 +398,38 @@ def reference_drop_masks(cfg: FusedBlockConfig, rng: jax.Array,
 # Pallas kernels
 # --------------------------------------------------------------------------
 
-def _vmask_const(cfg: FusedBlockConfig) -> jax.Array:
+def _vmask_const(cfg):
     return (lax.broadcasted_iota(jnp.int32, (cfg.v_pad, 1), 0)
-            < cfg.v_true).astype(_F32)
+            < cfg.v_true).astype(_F32)[None, None, :, :]
 
 
-def _make_fwd_kernel(cfg: FusedBlockConfig):
+def _make_fwd_kernel(cfg):
     def kernel(seed_ref, x_ref, g_ref, c1k, c1b, gaw, gab, gcw, gcb,
                c2k, c2b, lng, lnb, out_ref):
         w = (c1k[...], c1b[...], gaw[...], gab[...], gcw[...], gcb[...],
              c2k[...], c2b[...], lng[...], lnb[...])
-        g_mat = g_ref[...]
-        vmask = _vmask_const(cfg)
-        xs = [x_ref[b, t] for b in range(cfg.batch_tile)
-              for t in range(cfg.t_in)]
-        masks = _kernel_drop_masks(cfg, seed_ref[0])
-        fw = _forward_pieces(cfg, g_mat, vmask, xs, w, masks)
-        for b in range(cfg.batch_tile):
-            for t in range(cfg.t2):
-                out_ref[b, t] = fw["y"][b * cfg.t2 + t]
+        mask = _kernel_drop_mask(cfg, seed_ref[0])
+        fw = _forward_pieces(cfg, g_ref[...], _vmask_const(cfg), x_ref[...],
+                             w, mask)
+        out_ref[...] = fw["y"]
 
     return kernel
 
 
-def _make_bwd_kernel(cfg: FusedBlockConfig):
+def _make_bwd_kernel(cfg):
     def kernel(seed_ref, x_ref, g_ref, gt_ref, c1k, c1b, gaw, gab, gcw, gcb,
                c2k, c2b, lng, lnb, gy_ref,
                dx_ref, dc1k_ref, dc1b_ref, dgaw_ref, dgab_ref,
                dgcw_ref, dgcb_ref, dc2k_ref, dc2b_ref, dlng_ref, dlnb_ref):
         w = (c1k[...], c1b[...], gaw[...], gab[...], gcw[...], gcb[...],
              c2k[...], c2b[...], lng[...], lnb[...])
-        g_mat = g_ref[...]
-        gt_mat = gt_ref[...]
         vmask = _vmask_const(cfg)
-        xs = [x_ref[b, t] for b in range(cfg.batch_tile)
-              for t in range(cfg.t_in)]
-        gys = [gy_ref[b, t] for b in range(cfg.batch_tile)
-               for t in range(cfg.t2)]
-        masks = _kernel_drop_masks(cfg, seed_ref[0])
-        fw = _forward_pieces(cfg, g_mat, vmask, xs, w, masks)
-        bw = _backward_pieces(cfg, g_mat, gt_mat, vmask, xs, w, fw, gys,
-                              masks)
-        for b in range(cfg.batch_tile):
-            for t in range(cfg.t_in):
-                dx_ref[b, t] = bw["dx"][b * cfg.t_in + t]
+        x4 = x_ref[...]
+        mask = _kernel_drop_mask(cfg, seed_ref[0])
+        fw = _forward_pieces(cfg, g_ref[...], vmask, x4, w, mask)
+        bw = _backward_pieces(cfg, g_ref[...], gt_ref[...], vmask, x4, w,
+                              fw, gy_ref[...], mask)
+        dx_ref[...] = bw["dx"]
 
         @pl.when(pl.program_id(0) == 0)
         def _init():
@@ -502,7 +463,26 @@ def _const_spec(shape):
     return pl.BlockSpec(shape, lambda i, *_: (0,) * nd)
 
 
-def _fwd_pallas(cfg: FusedBlockConfig, seed, x, gso, w):
+def _compiler_params():
+    # v5e has 128 MB of VMEM; the default 16 MB scoped limit is far too
+    # conservative for a whole-block working set.
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _flops_estimate(cfg):
+    """Per-tile matmul FLOPs (for the compiler's pipeline scheduler)."""
+    v, tb = cfg.v_pad, cfg.batch_tile
+    f = tb * cfg.t1 * 2 * v * cfg.c_in * cfg.g1 * cfg.kt     # conv1
+    f += tb * cfg.t1 * 2 * v * cfg.c0 * cfg.c1               # align
+    n_g = (1 if cfg.graph_conv_type == "graph_conv" else max(cfg.ks - 1, 0))
+    f += tb * cfg.t1 * n_g * 2 * v * v * cfg.c1              # graph matmuls
+    n_w = 1 if cfg.graph_conv_type == "graph_conv" else cfg.ks
+    f += tb * cfg.t1 * n_w * 2 * v * cfg.c1 * cfg.c1         # weight contraction
+    f += tb * cfg.t2 * 2 * v * cfg.c1 * cfg.g2 * cfg.kt      # conv2
+    return f
+
+
+def _fwd_pallas(cfg, seed, x, gso, w):
     nb = x.shape[0] // cfg.batch_tile
     (c1k, c1b, gaw, gab, gcw, gcb, c2k, c2b, lng, lnb) = w
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -521,26 +501,24 @@ def _fwd_pallas(cfg: FusedBlockConfig, seed, x, gso, w):
         out_specs=pl.BlockSpec((cfg.batch_tile, cfg.t2, cfg.v_pad, cfg.c2),
                                lambda i, *_: (i, 0, 0, 0)),
     )
-    flops_tile = _flops_estimate(cfg)
     return pl.pallas_call(
         _make_fwd_kernel(cfg),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (x.shape[0], cfg.t2, cfg.v_pad, cfg.c2), _F32),
         cost_estimate=pl.CostEstimate(
-            flops=flops_tile * nb,
+            flops=_flops_estimate(cfg) * nb,
             bytes_accessed=(x.size + x.shape[0] * cfg.t2 * cfg.v_pad * cfg.c2) * 4,
             transcendentals=nb * cfg.batch_tile * cfg.v_pad
             * (cfg.t1 * cfg.g1 + cfg.t2 * cfg.g2),
         ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=cfg.interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), x, gso,
       c1k, c1b, gaw, gab, gcw, gcb, c2k, c2b, lng, lnb)
 
 
-def _bwd_pallas(cfg: FusedBlockConfig, seed, x, gso, gso_t, w, gy):
+def _bwd_pallas(cfg, seed, x, gso, gso_t, w, gy):
     nb = x.shape[0] // cfg.batch_tile
     (c1k, c1b, gaw, gab, gcw, gcb, c2k, c2b, lng, lnb) = w
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -591,24 +569,10 @@ def _bwd_pallas(cfg: FusedBlockConfig, seed, x, gso, gso_t, w, gy):
             transcendentals=2 * nb * cfg.batch_tile * cfg.v_pad
             * (cfg.t1 * cfg.g1 + cfg.t2 * cfg.g2),
         ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(),
         interpret=cfg.interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), x, gso, gso_t,
       c1k, c1b, gaw, gab, gcw, gcb, c2k, c2b, lng, lnb, gy)
-
-
-def _flops_estimate(cfg: FusedBlockConfig) -> int:
-    """Per-tile matmul FLOPs (for the compiler's pipeline scheduler)."""
-    v, tb = cfg.v_pad, cfg.batch_tile
-    f = tb * cfg.t1 * 2 * v * cfg.c_in * cfg.g1          # conv1
-    f += tb * cfg.t1 * 2 * v * cfg.c0 * cfg.c1           # align
-    n_g = (1 if cfg.graph_conv_type == "graph_conv" else max(cfg.ks - 1, 0))
-    f += tb * cfg.t1 * n_g * 2 * v * v * cfg.c1          # graph matmuls
-    n_w = 1 if cfg.graph_conv_type == "graph_conv" else cfg.ks
-    f += tb * cfg.t1 * n_w * 2 * v * cfg.c1 * cfg.c1     # weight contraction
-    f += tb * cfg.t2 * 2 * v * cfg.c1 * cfg.g2           # conv2
-    return f
 
 
 # --------------------------------------------------------------------------
@@ -616,7 +580,7 @@ def _flops_estimate(cfg: FusedBlockConfig) -> int:
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_block(cfg: FusedBlockConfig, seed, x, gso, gso_t,
+def _fused_block(cfg, seed, x, gso, gso_t,
                  c1k, c1b, gaw, gab, gcw, gcb, c2k, c2b, lng, lnb):
     return _fwd_pallas(cfg, seed, x, gso,
                        (c1k, c1b, gaw, gab, gcw, gcb, c2k, c2b, lng, lnb))
@@ -644,52 +608,42 @@ _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
 # pure-jnp reference (CPU path + correctness oracle)
 # --------------------------------------------------------------------------
 
-def st_block_reference(cfg: FusedBlockConfig, x: jax.Array, gso: jax.Array,
-                       w: tuple, drop_masks: jax.Array | None = None) -> jax.Array:
-    """Same math as the kernel, vmapped over batch in plain jnp.
+def st_block_reference(cfg, x, gso, w, drop_masks=None):
+    """Same math as the kernel in plain jnp over the whole batch.
 
     ``x``: [B, t_in, V_pad, c_in]; ``drop_masks``: [B, t2, V_pad, c2]
     pre-scaled keep masks or None. Differentiable via JAX autodiff.
     """
+    full = dataclasses.replace(cfg, batch_tile=x.shape[0])
     vmask = _vmask_const(cfg)
-    one = dataclasses.replace(cfg, batch_tile=1)
-
-    def single(xb, mb):
-        xs = [xb[t] for t in range(cfg.t_in)]
-        masks = None if mb is None else [mb[t] for t in range(cfg.t2)]
-        fw = _forward_pieces(one, gso, vmask, xs, w, masks)
-        return jnp.stack(fw["y"])
-
-    if drop_masks is None:
-        return jax.vmap(lambda xb: single(xb, None))(x)
-    return jax.vmap(single)(x, drop_masks)
+    fw = _forward_pieces(full, gso, vmask, x, w, drop_masks)
+    return fw["y"]
 
 
 # --------------------------------------------------------------------------
 # public entry
 # --------------------------------------------------------------------------
 
-def _pick_batch_tile(cfg_proto: FusedBlockConfig) -> int:
-    """Largest tile whose backward working set stays well under VMEM."""
+def _pick_batch_tile(cfg_proto) -> int:
+    """Largest tile whose backward working set stays well under VMEM
+    (v5e: 128 MB physical; leave room for pipeline double-buffering)."""
     v = cfg_proto.v_pad
+    c1p = max(cfg_proto.c1, 128)  # nm-layout narrow tensors pad to 128 lanes
     per_sample = 4 * v * (
-        cfg_proto.t_in * max(cfg_proto.c_in, 8)
-        + cfg_proto.t1 * (2 * cfg_proto.g1 + 2 * cfg_proto.c0
-                          + (cfg_proto.ks + 4) * max(cfg_proto.c1, 8))
-        + cfg_proto.t2 * (2 * cfg_proto.g2 + 3 * cfg_proto.c2))
-    budget = 10 * 1024 * 1024 - 4 * v * v
+        2 * cfg_proto.t_in * max(cfg_proto.c_in, 8)
+        + cfg_proto.t1 * (3 * cfg_proto.g1 + 2 * cfg_proto.c0
+                          + (cfg_proto.ks + 4) * c1p + 3 * cfg_proto.c1)
+        + cfg_proto.t2 * (3 * cfg_proto.g2 + 4 * cfg_proto.c2))
+    budget = 72 * 1024 * 1024 - 8 * v * v
     return max(1, min(8, budget // max(per_sample, 1)))
 
 
-def fused_st_block(x: jax.Array, gso: jax.Array, params: dict, *,
-                   kt: int, ks: int, act_func: str, graph_conv_type: str,
-                   droprate: float, deterministic: bool,
-                   seed: jax.Array | int = 0,
-                   drop_rng: jax.Array | None = None,
-                   batch_tile: int | None = None,
-                   use_pallas: bool | None = None,
-                   precision: str = "default",
-                   interpret: bool = False) -> jax.Array:
+def fused_st_block(x, gso, params, *,
+                   kt, ks, act_func, graph_conv_type,
+                   droprate, deterministic,
+                   seed=0, drop_rng=None,
+                   batch_tile=None, use_pallas=None,
+                   precision="default", interpret=False):
     """Apply one fused STConvBlock.
 
     ``x``: [B, T, V, c_in] (V may be unpadded); ``gso``: dense [V, V];
@@ -720,12 +674,13 @@ def fused_st_block(x: jax.Array, gso: jax.Array, params: dict, *,
     v_pad = _round_up(v, 16)
     training = (not deterministic) and droprate > 0.0
 
+    c1k = jnp.squeeze(c1k, axis=1)
     # Mosaic can't lower the backward's N=1 matmul (dx for a 1-channel
     # input); pad tiny channel counts to a sublane multiple. The pads are
     # differentiable, so the extra dx / dkernel rows slice away in the VJP.
     if c_in < 8:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 8 - c_in)))
-        c1k = jnp.pad(c1k, ((0, 0), (0, 0), (0, 8 - c_in), (0, 0)))
+        c1k = jnp.pad(c1k, ((0, 0), (0, 8 - c_in), (0, 0)))
         c_in = 8
 
     proto = FusedBlockConfig(
@@ -744,7 +699,7 @@ def fused_st_block(x: jax.Array, gso: jax.Array, params: dict, *,
         gso = jnp.pad(gso, ((0, v_pad - v), (0, v_pad - v)))
         lng = jnp.pad(lng, ((0, v_pad - v), (0, 0)))
         lnb = jnp.pad(lnb, ((0, v_pad - v), (0, 0)))
-    w = (jnp.squeeze(c1k, axis=1).astype(_F32), c1b.astype(_F32),
+    w = (c1k.astype(_F32), c1b.astype(_F32),
          gaw.astype(_F32), gab.astype(_F32), gcw.astype(_F32),
          gcb.astype(_F32), jnp.squeeze(c2k, axis=1).astype(_F32),
          c2b.astype(_F32), lng.astype(_F32), lnb.astype(_F32))

@@ -58,6 +58,10 @@ class TrainConfig:
     seed: int = 42
     shuffle: bool = False  # reference quirk: no shuffling even in training
     compute_dtype: str | None = None  # 'bfloat16' for mixed-precision training
+    fused: bool = False  # route the forward through the fused ST-block
+                         # Pallas kernels (dense GSO only); dropout masks come
+                         # from the on-core PRNG, so training trajectories
+                         # differ bitwise from the unfused path
     # io
     ckpt_dir: str = "checkpoints/run"
     log_path: str | None = None
@@ -122,13 +126,28 @@ class Trainer:
     def _build_steps(self):
         cfg, model, gop = self.cfg, self.model, self.gop
 
+        if cfg.fused:
+            from stgcn_tpu.nn.fused import fused_forward
+
+            if not hasattr(gop, "matrix"):
+                raise ValueError("fused=True requires a dense graph operator")
+
+            def apply_fn(params, x, *, deterministic, rng=None):
+                return fused_forward(params, x, gop, model,
+                                     deterministic=deterministic, rng=rng)
+        else:
+            def apply_fn(params, x, *, deterministic, rng=None):
+                rngs = None if rng is None else {"dropout": rng}
+                return model.apply({"params": params}, x, gop,
+                                   deterministic=deterministic, rngs=rngs)
+        self._apply_fn = apply_fn
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, series, starts, n_valid, rng):
             x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
 
             def loss_fn(p):
-                pred = model.apply({"params": p}, x, gop, deterministic=False,
-                                   rngs={"dropout": rng})
+                pred = apply_fn(p, x, deterministic=False, rng=rng)
                 pred = pred.reshape(pred.shape[0], -1)
                 return M.masked_mse(pred, y, n_valid)
 
@@ -140,14 +159,14 @@ class Trainer:
         @jax.jit
         def eval_loss_step(params, series, starts, n_valid):
             x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
-            pred = model.apply({"params": params}, x, gop, deterministic=True)
+            pred = apply_fn(params, x, deterministic=True)
             pred = pred.reshape(pred.shape[0], -1)
             return M.masked_mse(pred, y, n_valid)
 
         @jax.jit
         def predict_step(params, series, starts):
             x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
-            pred = model.apply({"params": params}, x, gop, deterministic=True)
+            pred = apply_fn(params, x, deterministic=True)
             return pred.reshape(pred.shape[0], -1), y
 
         dropout_base = self.dropout_base
@@ -166,8 +185,7 @@ class Trainer:
                 x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
 
                 def loss_fn(p):
-                    pred = model.apply({"params": p}, x, gop, deterministic=False,
-                                       rngs={"dropout": rng})
+                    pred = apply_fn(p, x, deterministic=False, rng=rng)
                     pred = pred.reshape(pred.shape[0], -1)
                     return M.masked_mse(pred, y, n_valid)
 
@@ -185,7 +203,7 @@ class Trainer:
             def step(_, inp):
                 starts, n_valid = inp
                 x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
-                pred = model.apply({"params": params}, x, gop, deterministic=True)
+                pred = apply_fn(params, x, deterministic=True)
                 pred = pred.reshape(pred.shape[0], -1)
                 return None, M.masked_mse(pred, y, n_valid)
 
@@ -197,7 +215,7 @@ class Trainer:
             def step(acc, inp):
                 starts, n_valid = inp
                 x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
-                pred = model.apply({"params": params}, x, gop, deterministic=True)
+                pred = apply_fn(params, x, deterministic=True)
                 pred = pred.reshape(pred.shape[0], -1)
                 pred = pred * scale + mean
                 y = y * scale + mean
