@@ -163,7 +163,10 @@ def banded_graph_op(gso: GraphShiftOperator, *, dtype=jnp.float32,
                     use_pallas: bool = True) -> BandedGraphOp:
     from stgcn_tpu.kernels.banded_spmm import pack_banded_with_transpose
 
-    slabs, lo, slabs_t, lo_t, v_pad = pack_banded_with_transpose(gso.matrix)
+    # 256-row slabs measured fastest on v5e (fewer, bigger grid steps;
+    # window widens only ~8% over 128-row blocks)
+    slabs, lo, slabs_t, lo_t, v_pad = pack_banded_with_transpose(
+        gso.matrix, block_size=256)
     return BandedGraphOp(slabs=jnp.asarray(slabs, dtype), lo=jnp.asarray(lo),
                          slabs_t=jnp.asarray(slabs_t, dtype),
                          lo_t=jnp.asarray(lo_t),

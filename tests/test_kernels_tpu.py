@@ -95,3 +95,45 @@ def test_sddmm_highest_precision(tpu_setup):
             expect[i, k] = gb[i] @ xb[cols_np[i, k]].T
     err = float(jnp.abs(out - jnp.asarray(expect)).max())
     assert err < 1e-3
+
+
+def test_banded_resident_matches_reference(tpu_setup):
+    """The whole-x-in-VMEM banded kernel (taken automatically when x fits
+    on-chip) matches the jnp oracle, including its gradient path."""
+    import jax
+    import jax.numpy as jnp
+
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.kernels.banded_spmm import (banded_spmm,
+                                               banded_spmm_reference,
+                                               pack_banded,
+                                               pack_banded_with_transpose,
+                                               banded_spmm_vjp)
+
+    s = tpu_setup
+    m = permute_matrix(s["art"].matrix, rcm_ordering(s["art"].matrix))
+    slabs, lo, slabs_t, lo_t, v_pad = pack_banded_with_transpose(
+        m, block_size=256)
+    rng = np.random.default_rng(4)
+    x_np = rng.standard_normal((v_pad, 64)).astype(np.float32)
+    x = jnp.asarray(x_np)
+    sj, loj = jnp.asarray(slabs), jnp.asarray(lo)
+
+    y = banded_spmm(sj, loj, x, precision=jax.lax.Precision.HIGHEST)
+    y_ref = banded_spmm_reference(sj, loj, x, block_size=256)
+    err = float(jnp.abs(y[:s["n"]] - y_ref[:s["n"]]).max())
+    assert err < 1e-4
+
+    stj, lotj = jnp.asarray(slabs_t), jnp.asarray(lo_t)
+
+    def loss(xx):
+        return jnp.sum(banded_spmm_vjp(sj, loj, stj, lotj, xx, 256, True)
+                       [:s["n"]] ** 2)
+
+    gx = jax.grad(loss)(x)
+    # dx = 2 A^T (A x) on the true rows
+    a = m.toarray()
+    expect = 2.0 * a.T @ (a @ x_np[:s["n"]])
+    err = float(jnp.abs(gx[:s["n"]] - jnp.asarray(expect, jnp.float32)).max()
+                / (np.abs(expect).max() + 1e-9))
+    assert err < 0.05  # default-precision bf16 multiplies in the bwd
