@@ -91,6 +91,8 @@ def get_parameters(argv=None):
                         help="bfloat16 = mixed-precision training (f32 params/LN)")
     parser.add_argument("--fused", type=_str2bool, default=False,
                         help="fused ST-block Pallas kernels (dense GSO only)")
+    parser.add_argument("--remat", type=_str2bool, default=False,
+                        help="checkpoint/rematerialize ST blocks (100k+ vertices)")
     return parser.parse_args(argv)
 
 
@@ -112,7 +114,7 @@ def config_from_args(args) -> TrainConfig:
         step_size=args.step_size, gamma=args.gamma, patience=args.patience,
         seed=args.seed, shuffle=args.shuffle,
         compute_dtype=None if args.compute_dtype == "float32" else args.compute_dtype,
-        fused=args.fused,
+        fused=args.fused, remat=args.remat,
         ckpt_dir=args.ckpt_dir or f"checkpoints/STGCN_{args.dataset}",
         log_path=args.log_path, dataset_name=args.dataset,
     )
@@ -192,7 +194,7 @@ def build_trainer(cfg: TrainConfig, *, dataset: str, data_root: str = "data",
     model = STGCN(n_his=cfg.n_his, kt=cfg.kt, ks=cfg.ks,
                   stblock_num=cfg.stblock_num, act_func=cfg.act_func,
                   graph_conv_type=cfg.graph_conv_type, use_bias=cfg.enable_bias,
-                  droprate=cfg.droprate,
+                  droprate=cfg.droprate, remat=cfg.remat,
                   dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
     return Trainer(cfg, model, gop, mk(train), mk(val), mk(test), scaler,
                    mesh=mesh)

@@ -297,3 +297,167 @@ def banded_viable(matrix: sp.spmatrix, *, block_size: int = 128,
             seg = csr.indices[s:e]
             width = max(width, int(seg.max()) - int(seg.min()) + 1)
     return width <= max_width
+
+
+# ---------------------------------------------------------------------------
+# fused Chebyshev pair: (T1, T2) = (A x, 2 A T1 − x) in one slab pass
+# ---------------------------------------------------------------------------
+
+def _make_cheb_pair_kernel(bs: int, w: int, tile_n: int, nbr: int, delay: int,
+                           precision):
+    """Wavefront kernel: step i computes T1 block i (from x) and T2 block
+    i − delay (from the T1 prefix, which by then covers its band window).
+    The slab block for the T2 stage is replayed from a VMEM ring filled by
+    the T1 stage, so A streams from HBM exactly once for BOTH applications.
+    """
+    n_ring = delay + 1
+
+    def kernel(lo_ref, slab_ref, x_ref, t1_ref, t2_ref, t1_buf, ring):
+        i = pl.program_id(0)
+
+        @pl.when(i < nbr)
+        def _stage1():
+            start = pl.multiple_of(lo_ref[i], 128)
+            win = x_ref[pl.ds(start, w), :]
+            t1 = jnp.dot(slab_ref[0], win, preferred_element_type=jnp.float32,
+                         precision=precision).astype(x_ref.dtype)
+            t1_buf[pl.ds(i * bs, bs), :] = t1
+            t1_ref[...] = t1
+            ring[i % n_ring] = slab_ref[0]
+
+        i2 = i - delay
+
+        @pl.when(i2 >= 0)
+        def _stage2():
+            start2 = pl.multiple_of(lo_ref[i2], 128)
+            win1 = t1_buf[pl.ds(start2, w), :]
+            x_blk = x_ref[pl.ds(i2 * bs, bs), :]
+            t2_ref[...] = (
+                2.0 * jnp.dot(ring[i2 % n_ring], win1,
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
+                - x_blk.astype(jnp.float32)).astype(x_ref.dtype)
+
+    return kernel
+
+
+def banded_cheb_pair(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
+                     precision=None) -> tuple[jax.Array, jax.Array]:
+    """``(A x, 2 A (A x) − x)`` — the ks=3 Chebyshev recurrence
+    (`model/layers.py:154-161`) with the operator streamed from HBM once.
+
+    Requires x resident-viable (the T1 scratch is another x-sized buffer).
+    CPU / non-viable fallback: two reference applications.
+    """
+    nbr, bs, w = slabs.shape
+    v_pad, n = x.shape
+    x_bytes = x.size * x.dtype.itemsize
+    viable = (jax.default_backend() == "tpu"
+              and 2 * x_bytes + 4 * bs * w * slabs.dtype.itemsize
+              < _RESIDENT_X_BYTES)
+    if not viable:
+        t1 = banded_spmm(slabs, lo, x, block_size=bs,
+                         use_pallas=jax.default_backend() == "tpu",
+                         precision=precision)
+        t1p = jnp.pad(t1, ((0, v_pad - t1.shape[0]), (0, 0))) \
+            if t1.shape[0] < v_pad else t1[:v_pad]
+        t2 = 2.0 * banded_spmm(slabs, lo, t1p, block_size=bs,
+                               use_pallas=jax.default_backend() == "tpu",
+                               precision=precision)[:v_pad] - x
+        return t1p, t2
+
+    tile = _round_up(n, 128)
+    if tile != n:
+        x = jnp.pad(x, ((0, 0), (0, tile - n)))
+    if nbr * bs != v_pad:  # bs need not divide v_pad
+        x = jnp.pad(x, ((0, nbr * bs - v_pad), (0, 0)))
+    delay = -(-w // bs) + 1  # T2 block i needs T1 rows < lo[i]+w <= (i+delay)*bs
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr + delay,),
+        in_specs=[
+            pl.BlockSpec((1, bs, w),
+                         lambda i, lo_ref: (jnp.minimum(i, nbr - 1), 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
+        ],
+        out_specs=[
+            pl.BlockSpec((bs, tile),
+                         lambda i, lo_ref: (jnp.minimum(i, nbr - 1), 0)),
+            # park on block 0 (no store) until the wavefront reaches it
+            pl.BlockSpec((bs, tile),
+                         lambda i, lo_ref: (jnp.maximum(i - delay, 0), 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nbr * bs, tile), x.dtype),          # T1 prefix
+            pltpu.VMEM((delay + 1, bs, w), slabs.dtype),    # slab ring
+        ],
+    )
+    t1, t2 = pl.pallas_call(
+        _make_cheb_pair_kernel(bs, w, tile, nbr, delay, precision),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nbr * bs, tile), x.dtype),
+                   jax.ShapeDtypeStruct((nbr * bs, tile), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * nbr * bs * w * tile,
+            bytes_accessed=(slabs.size * slabs.dtype.itemsize
+                            + 3 * x.size * x.dtype.itemsize),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(lo, slabs, x)
+    return t1[:v_pad, :n], t2[:v_pad, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def banded_cheb_pair_vjp(slabs, lo, slabs_t, lo_t, x, use_pallas=True):
+    """Differentiable fused Chebyshev pair.
+
+    Backward: ``dT1 = g1 + 2 Aᵀ g2``; ``dx = Aᵀ dT1 − g2`` — two banded
+    SpMMs with the transpose pack. Slab gradients are the banded SDDMMs of
+    ``(g1, x)`` and ``(2 g2, T1)`` in jnp form (DCE'd when the operator is
+    a jit constant, i.e. during training).
+    """
+    return banded_cheb_pair(slabs, lo, x)
+
+
+def _cheb_pair_fwd(slabs, lo, slabs_t, lo_t, x, use_pallas):
+    t1, t2 = banded_cheb_pair(slabs, lo, x)
+    return (t1, t2), (slabs, lo, slabs_t, lo_t, x, t1)
+
+
+def _cheb_pair_bwd(use_pallas, res, gs):
+    slabs, lo, slabs_t, lo_t, x, t1 = res
+    g1, g2 = gs
+    v_pad = x.shape[0]
+
+    def apply_t(g):
+        y = banded_spmm(slabs_t, lo_t, g, use_pallas=use_pallas)
+        if y.shape[0] > v_pad:
+            y = y[:v_pad]
+        elif y.shape[0] < v_pad:
+            y = jnp.pad(y, ((0, v_pad - y.shape[0]), (0, 0)))
+        return y
+
+    dt1 = g1 + 2.0 * apply_t(g2)
+    dx = apply_t(dt1) - g2
+
+    # band-sampled SDDMM for dslabs (jnp; dead code during training)
+    nbr, bs, w = slabs.shape
+    idx = lo[:, None] + jnp.arange(w)[None, :]
+    xw = x[idx]            # [nbr, w, n]
+    t1w = t1[idx]
+    n_rows = nbr * bs
+    g1b = jnp.pad(g1, ((0, n_rows - g1.shape[0]), (0, 0))).reshape(nbr, bs, -1) \
+        if g1.shape[0] < n_rows else g1[:n_rows].reshape(nbr, bs, -1)
+    g2b = jnp.pad(g2, ((0, n_rows - g2.shape[0]), (0, 0))).reshape(nbr, bs, -1) \
+        if g2.shape[0] < n_rows else g2[:n_rows].reshape(nbr, bs, -1)
+    dslabs = (jnp.einsum("ibn,iwn->ibw", g1b, xw,
+                         preferred_element_type=jnp.float32)
+              + 2.0 * jnp.einsum("ibn,iwn->ibw", g2b, t1w,
+                                 preferred_element_type=jnp.float32)
+              ).astype(slabs.dtype)
+    return dslabs, None, None, None, dx
+
+
+banded_cheb_pair_vjp.defvjp(_cheb_pair_fwd, _cheb_pair_bwd)

@@ -154,7 +154,13 @@ class ChebGraphConv(nn.Module):
 
         t_prev2 = x
         out = jnp.einsum("...vi,io->...vo", t_prev2, weight[0])
-        if self.ks >= 2:
+        if self.ks == 3 and hasattr(gop, "cheb_pair"):
+            # fused recurrence: the sparse operator streams from HBM once
+            # for both applications (kernels/banded_spmm.banded_cheb_pair)
+            t1, t2 = gop.cheb_pair(x)
+            out = out + jnp.einsum("...vi,io->...vo", t1, weight[1])
+            out = out + jnp.einsum("...vi,io->...vo", t2, weight[2])
+        elif self.ks >= 2:
             t_prev1 = gop(x)
             out = out + jnp.einsum("...vi,io->...vo", t_prev1, weight[1])
             for k in range(2, self.ks):
@@ -235,7 +241,7 @@ class STConvBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, gop: Any, *, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, gop: Any, deterministic: bool = True) -> jax.Array:
         x = TemporalConvLayer(self.kt, self.channels[0], self.act_func,
                               dtype=self.dtype, name="tmp_conv1")(x)
         x = GraphConvLayer(self.graph_conv_type, self.channels[1], self.ks,

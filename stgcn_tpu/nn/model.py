@@ -62,6 +62,10 @@ class STGCN(nn.Module):
     use_bias: bool = True
     droprate: float = 0.5
     dtype: Any = None  # compute dtype (bf16 mixed precision); params stay f32
+    remat: bool = False  # jax.checkpoint each ST block: recompute its
+                         # activations in the backward instead of storing
+                         # them — required at 100k+ vertices where one
+                         # [B, T, V, 128] activation is gigabytes
 
     def _plan(self) -> tuple[list[list[int]], int]:
         ko = compute_ko(self.n_his, self.kt, self.stblock_num)
@@ -81,13 +85,16 @@ class STGCN(nn.Module):
             raise ValueError("Ko == 1 is not a valid STGCN config "
                              "(no output head can consume a single step)")
 
+        block_cls = L.STConvBlock
+        if self.remat:
+            block_cls = nn.remat(L.STConvBlock, static_argnums=(3,))
         for l in range(len(blocks) - 3):
-            x = L.STConvBlock(
+            x = block_cls(
                 kt=self.kt, ks=self.ks, channels=tuple(blocks[l + 1]),
                 act_func=self.act_func, graph_conv_type=self.graph_conv_type,
                 use_bias=self.use_bias, droprate=self.droprate,
                 dtype=self.dtype, name=f"st_block_{l}",
-            )(x, gop, deterministic=deterministic)
+            )(x, gop, deterministic)
 
         if ko > 1:
             x = L.OutputBlock(

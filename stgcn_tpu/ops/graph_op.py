@@ -131,6 +131,22 @@ class BandedGraphOp(struct.PyTreeNode):
         y = y[:v]
         return _unfold_from_vn(y, lead_c)
 
+    def cheb_pair(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Fused ``(G x, 2 G (G x) − x)`` — the ks=3 Chebyshev recurrence
+        with the operator streamed from HBM once (see
+        :func:`stgcn_tpu.kernels.banded_spmm.banded_cheb_pair`)."""
+        from stgcn_tpu.kernels import banded_spmm as bk
+
+        x_vn, lead_c = _fold_to_vn(x)
+        v = x_vn.shape[0]
+        pad = self.v_pad - v
+        if pad:
+            x_vn = jnp.pad(x_vn, ((0, pad), (0, 0)))
+        t1, t2 = bk.banded_cheb_pair_vjp(self.slabs, self.lo, self.slabs_t,
+                                         self.lo_t, x_vn, self.use_pallas)
+        return (_unfold_from_vn(t1[:v], lead_c),
+                _unfold_from_vn(t2[:v], lead_c))
+
 
 GraphOp = Any  # structural: anything with .n_vertex and __call__(x, scale=...)
 

@@ -58,6 +58,7 @@ class TrainConfig:
     seed: int = 42
     shuffle: bool = False  # reference quirk: no shuffling even in training
     compute_dtype: str | None = None  # 'bfloat16' for mixed-precision training
+    remat: bool = False  # jax.checkpoint per ST block (needed at 100k+ vertices)
     fused: bool = False  # route the forward through the fused ST-block
                          # Pallas kernels (dense GSO only); dropout masks come
                          # from the on-core PRNG, so training trajectories
@@ -132,22 +133,22 @@ class Trainer:
             if not hasattr(gop, "matrix"):
                 raise ValueError("fused=True requires a dense graph operator")
 
-            def apply_fn(params, x, *, deterministic, rng=None):
-                return fused_forward(params, x, gop, model,
+            def apply_fn(g, params, x, *, deterministic, rng=None):
+                return fused_forward(params, x, g, model,
                                      deterministic=deterministic, rng=rng)
         else:
-            def apply_fn(params, x, *, deterministic, rng=None):
+            def apply_fn(g, params, x, *, deterministic, rng=None):
                 rngs = None if rng is None else {"dropout": rng}
-                return model.apply({"params": params}, x, gop,
+                return model.apply({"params": params}, x, g,
                                    deterministic=deterministic, rngs=rngs)
         self._apply_fn = apply_fn
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, series, starts, n_valid, rng):
+        def train_step(params, opt_state, g, series, starts, n_valid, rng):
             x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
 
             def loss_fn(p):
-                pred = apply_fn(p, x, deterministic=False, rng=rng)
+                pred = apply_fn(g, p, x, deterministic=False, rng=rng)
                 pred = pred.reshape(pred.shape[0], -1)
                 return M.masked_mse(pred, y, n_valid)
 
@@ -157,22 +158,22 @@ class Trainer:
             return params, opt_state, loss
 
         @jax.jit
-        def eval_loss_step(params, series, starts, n_valid):
+        def eval_loss_step(params, g, series, starts, n_valid):
             x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
-            pred = apply_fn(params, x, deterministic=True)
+            pred = apply_fn(g, params, x, deterministic=True)
             pred = pred.reshape(pred.shape[0], -1)
             return M.masked_mse(pred, y, n_valid)
 
         @jax.jit
-        def predict_step(params, series, starts):
+        def predict_step(params, g, series, starts):
             x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
-            pred = apply_fn(params, x, deterministic=True)
+            pred = apply_fn(g, params, x, deterministic=True)
             return pred.reshape(pred.shape[0], -1), y
 
         dropout_base = self.dropout_base
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_epoch_scanned(params, opt_state, series, starts_mat,
+        def train_epoch_scanned(params, opt_state, g, series, starts_mat,
                                 n_valid_vec, idx_vec):
             """One full epoch as a single compiled lax.scan — one dispatch
             per epoch instead of one per batch (dispatch latency through
@@ -185,7 +186,7 @@ class Trainer:
                 x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
 
                 def loss_fn(p):
-                    pred = apply_fn(p, x, deterministic=False, rng=rng)
+                    pred = apply_fn(g, p, x, deterministic=False, rng=rng)
                     pred = pred.reshape(pred.shape[0], -1)
                     return M.masked_mse(pred, y, n_valid)
 
@@ -199,11 +200,11 @@ class Trainer:
             return params, opt_state, losses
 
         @jax.jit
-        def eval_scanned(params, series, starts_mat, n_valid_vec):
+        def eval_scanned(params, g, series, starts_mat, n_valid_vec):
             def step(_, inp):
                 starts, n_valid = inp
                 x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
-                pred = apply_fn(params, x, deterministic=True)
+                pred = apply_fn(g, params, x, deterministic=True)
                 pred = pred.reshape(pred.shape[0], -1)
                 return None, M.masked_mse(pred, y, n_valid)
 
@@ -211,11 +212,11 @@ class Trainer:
             return losses
 
         @jax.jit
-        def metrics_scanned(params, series, starts_mat, n_valid_vec, mean, scale):
+        def metrics_scanned(params, g, series, starts_mat, n_valid_vec, mean, scale):
             def step(acc, inp):
                 starts, n_valid = inp
                 x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
-                pred = apply_fn(params, x, deterministic=True)
+                pred = apply_fn(g, params, x, deterministic=True)
                 pred = pred.reshape(pred.shape[0], -1)
                 pred = pred * scale + mean
                 y = y * scale + mean
@@ -266,7 +267,7 @@ class Trainer:
         step0 = self.epoch * self.steps_per_epoch
         idx_vec = jnp.arange(step0, step0 + starts_mat.shape[0])
         self.params, self.opt_state, losses = self._train_epoch_scanned(
-            self.params, self.opt_state, self.train_ds.series,
+            self.params, self.opt_state, self.gop, self.train_ds.series,
             starts_mat, n_valid_vec, idx_vec)
         losses = np.asarray(jax.device_get(losses))
         weights = np.asarray(jax.device_get(n_valid_vec), dtype=np.float64)
@@ -275,7 +276,7 @@ class Trainer:
     def validate(self) -> float:
         starts_mat, n_valid_vec = self._epoch_plan(self.val_ds)
         losses = np.asarray(jax.device_get(
-            self._eval_scanned(self.params, self.val_ds.series,
+            self._eval_scanned(self.params, self.gop, self.val_ds.series,
                                starts_mat, n_valid_vec)))
         weights = np.asarray(jax.device_get(n_valid_vec), dtype=np.float64)
         return float((losses * weights).sum() / weights.sum())
@@ -327,12 +328,13 @@ class Trainer:
             if use_best and self.ckpt.has_best() else self.params
         starts_mat, n_valid_vec = self._epoch_plan(self.test_ds)
         losses = np.asarray(jax.device_get(
-            self._eval_scanned(params, self.test_ds.series, starts_mat, n_valid_vec)))
+            self._eval_scanned(params, self.gop, self.test_ds.series,
+                               starts_mat, n_valid_vec)))
         weights = np.asarray(jax.device_get(n_valid_vec), dtype=np.float64)
         mse = float((losses * weights).sum() / weights.sum())
 
         sums = self._metrics_scanned(
-            params, self.test_ds.series, starts_mat, n_valid_vec,
+            params, self.gop, self.test_ds.series, starts_mat, n_valid_vec,
             jnp.asarray(self.scaler.mean_, jnp.float32),
             jnp.asarray(self.scaler.scale_, jnp.float32))
         s_abs, s_sq, s_ape, s_y, count = [float(s) for s in sums]
