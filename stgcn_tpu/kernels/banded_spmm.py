@@ -88,8 +88,12 @@ def banded_spmm_reference(slabs: jax.Array, lo: jax.Array, x: jax.Array,
 
 
 def _make_banded_kernel(bs: int, w: int, tile_n: int, n_tiles: int,
-                        nbr: int, precision):
-    def kernel(lo_ref, slab_ref, x_hbm, o_ref, x_buf, sem):
+                        nbr: int, precision, quantized: bool = False):
+    def kernel(lo_ref, slab_ref, *rest):
+        if quantized:
+            scale_ref, x_hbm, o_ref, x_buf, sem = rest
+        else:
+            x_hbm, o_ref, x_buf, sem = rest
         i = pl.program_id(0)
         j = pl.program_id(1)
         step = i * n_tiles + j
@@ -116,28 +120,50 @@ def _make_banded_kernel(bs: int, w: int, tile_n: int, n_tiles: int,
             get_dma((step + 1) % 2, ni, nj).start()
 
         get_dma(step % 2, i, j).wait()
-        o_ref[:] = jnp.dot(slab_ref[0], x_buf[step % 2],
-                           preferred_element_type=jnp.float32,
-                           precision=precision).astype(o_ref.dtype)
+        y = jnp.dot(_slab_block(slab_ref, x_buf.dtype), x_buf[step % 2],
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+        if quantized:
+            y = y * scale_ref[0, 0][:, None]
+        o_ref[:] = y.astype(o_ref.dtype)
 
     return kernel
 
 
-def _make_resident_kernel(bs: int, w: int, tile_n: int, precision):
-    def kernel(lo_ref, slab_ref, x_ref, o_ref):
+def _slab_block(slab_ref, x_dtype):
+    """Slab tile as an MXU operand; int8 packs dequantize on the VPU (the
+    per-row scale is applied to the *output*, so only a dtype convert
+    happens here — halves the dominant HBM stream)."""
+    blk = slab_ref[0]
+    if blk.dtype == jnp.int8:
+        return blk.astype(x_dtype)
+    return blk
+
+
+def _make_resident_kernel(bs: int, w: int, tile_n: int, precision,
+                          quantized: bool):
+    def kernel(lo_ref, slab_ref, *rest):
+        if quantized:
+            scale_ref, x_ref, o_ref = rest
+        else:
+            x_ref, o_ref = rest
         i = pl.program_id(0)
         j = pl.program_id(1)
         start = pl.multiple_of(lo_ref[i], 128)
         window = x_ref[pl.ds(start, w), pl.ds(j * tile_n, tile_n)]
-        o_ref[:] = jnp.dot(slab_ref[0], window,
-                           preferred_element_type=jnp.float32,
-                           precision=precision).astype(o_ref.dtype)
+        y = jnp.dot(_slab_block(slab_ref, x_ref.dtype), window,
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+        if quantized:
+            y = y * scale_ref[0, 0][:, None]
+        o_ref[:] = y.astype(o_ref.dtype)
 
     return kernel
 
 
 def _banded_pallas_resident(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
-                            tile_n: int, precision=None) -> jax.Array:
+                            tile_n: int, precision=None,
+                            scales: jax.Array | None = None) -> jax.Array:
     """Whole-x-in-VMEM variant: v5e has 128 MB of VMEM, so for graphs up to
     ~300k vertices at n=128 bf16 the dense operand fits on-chip. Each x row
     is then read from HBM exactly once (the band windows of adjacent row
@@ -145,17 +171,25 @@ def _banded_pallas_resident(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
     nbr, bs, w = slabs.shape
     n = x.shape[1]
     grid = (nbr, n // tile_n)
+    quantized = scales is not None
+    in_specs = [
+        pl.BlockSpec((1, bs, w), lambda i, j, lo_ref: (i, 0, 0)),
+    ]
+    args = [lo, slabs]
+    if quantized:
+        in_specs.append(pl.BlockSpec((1, 1, bs),
+                        lambda i, j, lo_ref: (i, 0, 0)))
+        args.append(scales)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # x resident
+    args.append(x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # lo
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bs, w), lambda i, j, lo_ref: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident on-chip
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bs, tile_n), lambda i, j, lo_ref: (i, j)),
     )
     return pl.pallas_call(
-        _make_resident_kernel(bs, w, tile_n, precision),
+        _make_resident_kernel(bs, w, tile_n, precision, quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbr * bs, n), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -166,7 +200,7 @@ def _banded_pallas_resident(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(lo, slabs, x)
+    )(*args)
 
 
 # x + double-buffered slab blocks + output tile must fit on-chip
@@ -174,18 +208,25 @@ _RESIDENT_X_BYTES = 96 * 1024 * 1024
 
 
 def _banded_pallas(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
-                   tile_n: int, precision=None) -> jax.Array:
+                   tile_n: int, precision=None,
+                   scales: jax.Array | None = None) -> jax.Array:
     nbr, bs, w = slabs.shape
     n = x.shape[1]
     n_tiles = n // tile_n
     grid = (nbr, n_tiles)
+    quantized = scales is not None
+    in_specs = [pl.BlockSpec((1, bs, w), lambda i, j, lo_ref: (i, 0, 0))]
+    args = [lo, slabs]
+    if quantized:
+        in_specs.append(pl.BlockSpec((1, 1, bs),
+                        lambda i, j, lo_ref: (i, 0, 0)))
+        args.append(scales)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # x in HBM
+    args.append(x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # lo
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bs, w), lambda i, j, lo_ref: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x in HBM
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bs, tile_n), lambda i, j, lo_ref: (i, j)),
         scratch_shapes=[
             pltpu.VMEM((2, w, tile_n), x.dtype),
@@ -193,7 +234,7 @@ def _banded_pallas(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
         ],
     )
     return pl.pallas_call(
-        _make_banded_kernel(bs, w, tile_n, n_tiles, nbr, precision),
+        _make_banded_kernel(bs, w, tile_n, n_tiles, nbr, precision, quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbr * bs, n), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -202,27 +243,37 @@ def _banded_pallas(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
                             + nbr * w * n * x.dtype.itemsize),
             transcendentals=0,
         ),
-    )(lo, slabs, x)
+    )(*args)
 
 
 def banded_spmm(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
                 block_size: int = 128, use_pallas: bool = True,
-                tile_n: int = 512, precision=None) -> jax.Array:
-    """``y[nbr*bs, N] = A_banded @ x``; x must have ``v_pad`` rows."""
+                tile_n: int = 512, precision=None,
+                scales: jax.Array | None = None) -> jax.Array:
+    """``y[nbr*bs, N] = A_banded @ x``; x must have ``v_pad`` rows.
+
+    ``scales``: per-row dequant scales [nbr, bs] for int8 slabs (the slab
+    holds ``round(a / scale)``; the scale multiplies the output row).
+    """
     n = x.shape[1]
     if not use_pallas or jax.default_backend() != "tpu":
-        return banded_spmm_reference(slabs, lo, x, block_size=block_size)
+        s = slabs if scales is None else \
+            slabs.astype(jnp.float32) * scales[:, :, None]
+        return banded_spmm_reference(s, lo, x, block_size=block_size)
     tile = min(tile_n, _round_up(n, 128))
     n_pad = _round_up(n, tile)
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n)))
     x_bytes = x.shape[0] * n_pad * x.dtype.itemsize
     slab_bytes = 2 * slabs.shape[1] * slabs.shape[2] * slabs.dtype.itemsize
+    if scales is not None:
+        scales = scales.reshape(scales.shape[0], 1, scales.shape[-1])
     if x_bytes + slab_bytes < _RESIDENT_X_BYTES:
         y = _banded_pallas_resident(slabs, lo, x, tile_n=tile,
-                                    precision=precision)
+                                    precision=precision, scales=scales)
     else:
-        y = _banded_pallas(slabs, lo, x, tile_n=tile, precision=precision)
+        y = _banded_pallas(slabs, lo, x, tile_n=tile, precision=precision,
+                           scales=scales)
     return y[:, :n]
 
 
@@ -461,3 +512,72 @@ def _cheb_pair_bwd(use_pallas, res, gs):
 
 
 banded_cheb_pair_vjp.defvjp(_cheb_pair_fwd, _cheb_pair_bwd)
+
+
+def pack_banded_device(matrix: sp.spmatrix, *, block_size: int = 256,
+                       col_align: int = 128, dtype=jnp.bfloat16,
+                       v_pad: int | None = None):
+    """Device-side slab construction: only the COO triplets travel to the
+    chip (~12 B/edge); the ~GB-scale zero-filled slabs are scattered on
+    device. At 1M vertices this turns a ~90 s pack upload through the
+    tunnel into ~2 s. Returns ``(slabs jnp, lo np, v_pad)``.
+    """
+    csr = sp.csr_matrix(matrix)
+    v = csr.shape[0]
+    bs = block_size
+    nbr = -(-v // bs)
+    lo = np.zeros(nbr, np.int64)
+    hi = np.zeros(nbr, np.int64)
+    indptr, indices = csr.indptr, csr.indices
+    for i in range(nbr):
+        s, e = indptr[i * bs], indptr[min((i + 1) * bs, v)]
+        if e > s:
+            seg = indices[s:e]
+            lo[i], hi[i] = seg.min(), seg.max() + 1
+        else:
+            lo[i], hi[i] = 0, 1
+    lo_al = (lo // col_align) * col_align
+    w = _round_up(max(int((hi - lo_al).max()), col_align), col_align)
+    if v_pad is None:
+        v_pad = _round_up(max(v, w), col_align)
+    lo_al = np.minimum(lo_al, v_pad - w).astype(np.int64)
+
+    coo = csr.tocoo()
+    br = (coo.row // bs).astype(np.int64)
+    r = (coo.row - br * bs).astype(np.int32)
+    c = (coo.col - lo_al[br]).astype(np.int32)
+
+    vals = coo.data.astype(np.float32)
+    scales = None
+    if dtype == jnp.int8:
+        # per-matrix-row scale, applied to the output rows by the kernel
+        row_max = np.zeros(nbr * bs, np.float32)
+        np.maximum.at(row_max, coo.row, np.abs(vals))
+        row_scale = np.where(row_max > 0, row_max / 127.0, 1.0)
+        vals = np.clip(np.round(vals / row_scale[coo.row]), -127, 127)
+        scales = jnp.asarray(row_scale.reshape(nbr, bs))
+
+    # chunk the scatter: TPU scatters on narrow types upcast internally, so
+    # a whole-array scatter would transiently need ~8x the slab bytes
+    chunk_blocks = max(1, int(2e9 / (bs * w * 4)))
+    parts = []
+    order = np.argsort(br, kind="stable")
+    br_s, r_s, c_s, v_s = br[order], r[order], c[order], vals[order]
+    bounds = np.searchsorted(br_s, np.arange(0, nbr + chunk_blocks,
+                                             chunk_blocks))
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def scatter(brj, rj, cj, v, nb):
+        part = jnp.zeros((nb, bs, w), dtype)
+        return part.at[brj, rj, cj].set(v.astype(dtype))
+
+    for ci, b0 in enumerate(range(0, nbr, chunk_blocks)):
+        nb = min(chunk_blocks, nbr - b0)
+        s, e = bounds[ci], bounds[ci + 1]
+        parts.append(scatter(jnp.asarray((br_s[s:e] - b0).astype(np.int32)),
+                             jnp.asarray(r_s[s:e]), jnp.asarray(c_s[s:e]),
+                             jnp.asarray(v_s[s:e]), nb))
+    slabs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    if dtype == jnp.int8:
+        return slabs, lo_al.astype(np.int32), v_pad, scales
+    return slabs, lo_al.astype(np.int32), v_pad

@@ -199,6 +199,40 @@ class Trainer:
                 step, (params, opt_state), (starts_mat, n_valid_vec, idx_vec))
             return params, opt_state, losses
 
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_epoch_shuffled(params, opt_state, g, series, all_starts,
+                                 n_valid_vec, idx_vec, key):
+            """Shuffle-mode epoch with the permutation drawn *on device*
+            (zero host traffic per epoch; the reference has no shuffling at
+            all, `main.py:127`, so this is a TPU-native extension). The tail
+            batch is padded with already-used windows and masked by
+            ``n_valid`` exactly like the host plan."""
+            steps = n_valid_vec.shape[0]
+            b = cfg.batch_size
+            perm = jax.random.permutation(key, all_starts)
+            pad = steps * b - all_starts.shape[0]
+            starts_mat = jnp.concatenate([perm, perm[:pad]]).reshape(steps, b)
+
+            def step(carry, inp):
+                params, opt_state = carry
+                starts, n_valid, idx = inp
+                rng = jax.random.fold_in(dropout_base, idx)
+                x, y = gather_windows(series, starts, cfg.n_his, cfg.n_pred)
+
+                def loss_fn(p):
+                    pred = apply_fn(g, p, x, deterministic=False, rng=rng)
+                    pred = pred.reshape(pred.shape[0], -1)
+                    return M.masked_mse(pred, y, n_valid)
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state2 = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state2), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (starts_mat, n_valid_vec, idx_vec))
+            return params, opt_state, losses
+
         @jax.jit
         def eval_scanned(params, g, series, starts_mat, n_valid_vec):
             def step(_, inp):
@@ -228,6 +262,7 @@ class Trainer:
             return acc
 
         self._train_step = train_step
+        self._train_epoch_shuffled = train_epoch_shuffled
         self._eval_loss_step = eval_loss_step
         self._predict_step = predict_step
         self._train_epoch_scanned = train_epoch_scanned
@@ -257,14 +292,41 @@ class Trainer:
             self._plan_cache[key] = (starts_mat, n_valid_vec)
         return starts_mat, n_valid_vec
 
+    def _all_starts_plan(self, ds: ForecastDataset):
+        """Device-resident window starts + per-batch valid counts (cached)."""
+        key = ("all", id(ds))
+        if key not in self._plan_cache:
+            from stgcn_tpu.data.datasets import window_starts
+
+            starts = window_starts(int(ds.series.shape[0]), self.cfg.n_his,
+                                   self.cfg.n_pred)
+            b = self.cfg.batch_size
+            steps = -(-len(starts) // b)
+            n_valid = np.full(steps, b, np.int32)
+            n_valid[-1] = len(starts) - (steps - 1) * b
+            self._plan_cache[key] = (jnp.asarray(starts),
+                                     jnp.asarray(n_valid))
+        return self._plan_cache[key]
+
     # ----------------------------------------------------------------- loops
     def train_epoch(self) -> float:
         cfg = self.cfg
+        step0 = self.epoch * self.steps_per_epoch
+        if cfg.shuffle and self.mesh is None:
+            # permutation drawn on device — nothing uploaded per epoch
+            all_starts, n_valid_vec = self._all_starts_plan(self.train_ds)
+            idx_vec = jnp.arange(step0, step0 + n_valid_vec.shape[0])
+            key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), self.epoch)
+            self.params, self.opt_state, losses = self._train_epoch_shuffled(
+                self.params, self.opt_state, self.gop, self.train_ds.series,
+                all_starts, n_valid_vec, idx_vec, key)
+            losses = np.asarray(jax.device_get(losses))
+            weights = np.asarray(jax.device_get(n_valid_vec), dtype=np.float64)
+            return float((losses * weights).sum() / weights.sum())
         shuffle_rng = np.random.default_rng(cfg.seed + self.epoch) if cfg.shuffle else None
         starts_mat, n_valid_vec = self._epoch_plan(self.train_ds,
                                                    shuffle=cfg.shuffle,
                                                    rng=shuffle_rng)
-        step0 = self.epoch * self.steps_per_epoch
         idx_vec = jnp.arange(step0, step0 + starts_mat.shape[0])
         self.params, self.opt_state, losses = self._train_epoch_scanned(
             self.params, self.opt_state, self.gop, self.train_ds.series,

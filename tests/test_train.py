@@ -247,3 +247,35 @@ def test_frozen_trajectory_regression(toy_problem, tmp_path):
     val = tr.validate()
     np.testing.assert_allclose(losses, [1.56773288, 0.69186213], rtol=1e-5)
     np.testing.assert_allclose(val, 0.53161915, rtol=1e-5)
+
+
+def test_on_device_shuffle_covers_all_windows(tmp_path):
+    """With lr=0 and no dropout, the batch-weighted epoch loss is the mean
+    over all windows — permutation-invariant — so the on-device-shuffled
+    epoch must equal the unshuffled one exactly if (and only if) the device
+    permutation covers every window exactly once."""
+    from stgcn_tpu.cli.main import build_trainer
+    from stgcn_tpu.train.loop import TrainConfig
+
+    import numpy as np
+    import scipy.sparse as sp
+
+    from stgcn_tpu.data.synthetic import generate_synthetic_vel, random_road_graph
+
+    ds = tmp_path / "toy"
+    ds.mkdir()
+    adj = random_road_graph(24, k_neighbors=4, seed=0)
+    sp.save_npz(str(ds / "adj.npz"), sp.csc_matrix(adj))
+    vel = generate_synthetic_vel(adj, 160, seed=1)
+    np.savetxt(str(ds / "vel.csv"), vel, delimiter=",", fmt="%.4f")
+
+    def run(shuffle):
+        cfg = TrainConfig(batch_size=8, epochs=1, shuffle=shuffle, lr=0.0,
+                          droprate=0.0, ckpt_dir=str(tmp_path / f"s{shuffle}"),
+                          dataset_name="toy", seed=7)
+        tr = build_trainer(cfg, dataset="toy", data_root=str(tmp_path))
+        return tr.train_epoch()
+
+    l_plain = run(False)
+    l_shuf = run(True)
+    assert abs(l_plain - l_shuf) < 1e-5 * max(abs(l_plain), 1.0)
