@@ -140,3 +140,16 @@ def test_banded_trainer_end_to_end(tmp_path):
     np.testing.assert_allclose(l_band, l_dense, rtol=1e-4)
     np.testing.assert_allclose(v_band, v_dense, rtol=1e-4)
     np.testing.assert_allclose(l_bcsr, l_dense, rtol=1e-4)
+
+
+def test_scaling_harness_runs_on_virtual_mesh():
+    """The edges/s scaling harness runs end-to-end on the 8-device CPU
+    mesh and produces finite efficiencies (validates the measurement path;
+    absolute CPU numbers are not meaningful)."""
+    from stgcn_tpu.bench.scaling import measure_ring_spmm
+
+    out = measure_ring_spmm(n_vertex=2048, n_feat=32, parts=(1, 2, 4),
+                            reps=2)
+    assert set(out["parts"]) == {"1", "2", "4"}
+    for rec in out["parts"].values():
+        assert rec["edges_per_s"] > 0 and rec["efficiency"] > 0
