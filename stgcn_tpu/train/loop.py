@@ -113,9 +113,19 @@ class Trainer:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            rep = NamedSharding(mesh, P())
-            self.params = jax.device_put(self.params, rep)
-            self.opt_state = jax.device_put(self.opt_state, rep)
+            if "model" in mesh.shape and mesh.shape["model"] > 1:
+                # optional channel tensor-parallelism (SURVEY §2.9):
+                # wide kernels shard c_out over 'model'; GSPMD inserts
+                # the collectives
+                from stgcn_tpu.dist.mesh import tp_param_specs
+
+                specs = tp_param_specs(self.params, mesh)
+                self.params = jax.tree.map(jax.device_put, self.params, specs)
+            else:
+                rep = NamedSharding(mesh, P())
+                self.params = jax.device_put(self.params, rep)
+            self.opt_state = jax.device_put(
+                self.opt_state, NamedSharding(mesh, P()))
             self._data_sharding = NamedSharding(mesh, P("data"))
         self.epoch = 0
         self.es = EarlyStopping(patience=config.patience, delta=0.0,

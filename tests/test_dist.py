@@ -153,3 +153,35 @@ def test_scaling_harness_runs_on_virtual_mesh():
     assert set(out["parts"]) == {"1", "2", "4"}
     for rec in out["parts"].values():
         assert rec["edges_per_s"] > 0 and rec["efficiency"] > 0
+
+
+def test_channel_tensor_parallel_matches_replicated(tmp_path):
+    """A (1 data × 1 graph × 2 model) mesh sharding output channels of the
+    wide kernels trains to the same loss as the replicated run (GSPMD
+    inserts the collectives; numerics match at f32 tolerance)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from stgcn_tpu.cli.main import build_trainer
+    from stgcn_tpu.data.synthetic import generate_synthetic_vel, random_road_graph
+    from stgcn_tpu.dist import make_mesh
+    from stgcn_tpu.train.loop import TrainConfig
+
+    ds = tmp_path / "toy"
+    ds.mkdir()
+    adj = random_road_graph(24, k_neighbors=4, seed=0)
+    sp.save_npz(str(ds / "adj.npz"), sp.csc_matrix(adj))
+    vel = generate_synthetic_vel(adj, 160, seed=1)
+    np.savetxt(str(ds / "vel.csv"), vel, delimiter=",", fmt="%.4f")
+
+    def run(mesh):
+        cfg = TrainConfig(batch_size=8, epochs=1, droprate=0.0,
+                          ckpt_dir=str(tmp_path / f"m{mesh is None}"),
+                          dataset_name="toy", seed=3)
+        tr = build_trainer(cfg, dataset="toy", data_root=str(tmp_path),
+                           mesh=mesh)
+        return tr.train_epoch()
+
+    l_rep = run(None)
+    l_tp = run(make_mesh(data=1, graph=1, model=2))
+    assert abs(l_rep - l_tp) < 1e-4 * max(abs(l_rep), 1.0)
