@@ -139,6 +139,18 @@ def bench_spmm(n_vertex=100_000, k_neighbors=8, n_feat=128, measure=300):
     device_sync(yb)
     dt_banded = (time.time() - t0) / measure
 
+    # fused Chebyshev pair (both G-applications of the ks=3 recurrence)
+    from stgcn_tpu.kernels.banded_spmm import banded_cheb_pair
+
+    pair_j = jax.jit(banded_cheb_pair)
+    tp = pair_j(slabs_j, lo_j, x_band)
+    device_sync(tp)
+    t0 = time.time()
+    for _ in range(measure):
+        tp = pair_j(slabs_j, lo_j, x_band)
+    device_sync(tp)
+    dt_pair = (time.time() - t0) / measure
+
     live_tiles = int(counts.sum())
     block_flops = 2 * live_tiles * 128 * 128 * n_feat
     useful_flops = 2 * nnz * n_feat
@@ -155,6 +167,8 @@ def bench_spmm(n_vertex=100_000, k_neighbors=8, n_feat=128, measure=300):
         "edges_per_s": nnz / best_dt,
         "ell_time_s": dt,
         "banded_time_s": dt_banded,
+        "cheb_pair_time_s": dt_pair,
+        "cheb_pair_edges_per_s": 2 * nnz / dt_pair,
         "edge_flops_per_s": useful_flops / best_dt,
         "mxu_flops_per_s": block_flops / dt,
         "mxu_roofline_frac": (block_flops / dt) / peak,
@@ -165,9 +179,10 @@ def bench_spmm(n_vertex=100_000, k_neighbors=8, n_feat=128, measure=300):
         "tile_occupancy": useful_flops / block_flops,
         "device": device_kind,
     }
-    log(f"[spmm] ell {dt * 1e3:.2f} ms | banded {dt_banded * 1e3:.2f} ms → "
-        f"{res['edges_per_s']:.3e} edges/s, banded HBM "
-        f"{res['banded_hbm_gbs']:.0f} GB/s "
+    log(f"[spmm] ell {dt * 1e3:.2f} ms | banded {dt_banded * 1e3:.2f} ms | "
+        f"cheb-pair {dt_pair * 1e3:.2f} ms → "
+        f"{res['edges_per_s']:.3e} edges/s (pair {2 * nnz / dt_pair:.3e}), "
+        f"banded HBM {res['banded_hbm_gbs']:.0f} GB/s "
         f"({100 * res['banded_hbm_roofline_frac']:.0f}% of BW roofline)")
     return res
 
