@@ -73,7 +73,7 @@ def get_parameters(argv=None):
                         choices=["default", "high", "highest"],
                         help="'highest' for parity runs; 'default' (bf16 MXU) for speed")
     parser.add_argument("--graph_op", type=str, default="auto",
-                        choices=["auto", "dense", "bcsr", "banded"],
+                        choices=["auto", "dense", "bcsr", "banded", "banded_int8"],
                         help="GSO representation: dense MXU matmul or Pallas block-sparse")
     parser.add_argument("--shuffle", type=_str2bool, default=False,
                         help="shuffle training windows (reference keeps False)")
@@ -149,8 +149,8 @@ def build_trainer(cfg: TrainConfig, *, dataset: str, data_root: str = "data",
         gop, partition = sharded_graph_op(art, mesh)
         perm = partition.perm
     else:
-        if graph_op_kind == "banded" or (graph_op_kind == "auto"
-                                         and art.n_vertex > 4096):
+        if graph_op_kind in ("banded", "banded_int8") or (
+                graph_op_kind == "auto" and art.n_vertex > 4096):
             # sparse kernels want the narrow RCM band; reorder the graph
             # and, below, the matching sensor columns of the series
             from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering

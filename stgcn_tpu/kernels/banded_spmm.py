@@ -280,34 +280,42 @@ def banded_spmm(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
 import functools
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def banded_spmm_vjp(slabs, lo, slabs_t, lo_t, x, block_size=128, use_pallas=True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def banded_spmm_vjp(slabs, lo, slabs_t, lo_t, x, scales=None, scales_t=None,
+                    block_size=128, use_pallas=True):
     """Differentiable banded SpMM.
 
     d/dx runs the banded kernel with the *transpose* pack (``Aᵀ g``);
     d/dslabs is the banded SDDMM (``g ·ᵀ x`` sampled at the band windows) in
     jnp form — when the operator is a jit-captured constant (the training
-    path) XLA dead-code-eliminates it.
+    path) XLA dead-code-eliminates it. With int8 packs (``scales`` set) the
+    edge weights are frozen: d/dslabs is not defined through quantization.
     """
-    return banded_spmm(slabs, lo, x, block_size=block_size, use_pallas=use_pallas)
+    return banded_spmm(slabs, lo, x, block_size=block_size,
+                       use_pallas=use_pallas, scales=scales)
 
 
-def _banded_vjp_fwd(slabs, lo, slabs_t, lo_t, x, block_size, use_pallas):
-    y = banded_spmm(slabs, lo, x, block_size=block_size, use_pallas=use_pallas)
-    return y, (slabs, lo, slabs_t, lo_t, x)
+def _banded_vjp_fwd(slabs, lo, slabs_t, lo_t, x, scales, scales_t,
+                    block_size, use_pallas):
+    y = banded_spmm(slabs, lo, x, block_size=block_size,
+                    use_pallas=use_pallas, scales=scales)
+    return y, (slabs, lo, slabs_t, lo_t, x, scales, scales_t)
 
 
 def _banded_vjp_bwd(block_size, use_pallas, res, g):
-    slabs, lo, slabs_t, lo_t, x = res
+    slabs, lo, slabs_t, lo_t, x, scales, scales_t = res
     v_pad = x.shape[0]
     g_pad = jnp.pad(g, ((0, v_pad - g.shape[0]), (0, 0))) \
         if g.shape[0] < v_pad else g
     dx = banded_spmm(slabs_t, lo_t, g_pad, block_size=block_size,
-                     use_pallas=use_pallas)
+                     use_pallas=use_pallas, scales=scales_t)
     if dx.shape[0] > v_pad:  # nbr*bs overshoots v_pad on small graphs
         dx = dx[:v_pad]
     elif dx.shape[0] < v_pad:
         dx = jnp.pad(dx, ((0, v_pad - dx.shape[0]), (0, 0)))
+    if scales is not None:
+        dslabs = jnp.zeros_like(slabs)  # quantized pack: weights frozen
+        return dslabs, None, None, None, dx, None, None
     # banded SDDMM: dslab[i] = g_block[i] @ x_window[i]^T  (dead code and
     # DCE'd when the operator is a jit constant, i.e. in training)
     nbr, bs, w = slabs.shape
@@ -316,7 +324,7 @@ def _banded_vjp_bwd(block_size, use_pallas, res, g):
     gb = g.reshape(nbr, bs, -1)
     dslabs = jnp.einsum("ibn,iwn->ibw", gb, windows,
                         preferred_element_type=jnp.float32).astype(slabs.dtype)
-    return dslabs, None, None, None, dx
+    return dslabs, None, None, None, dx, None, None
 
 
 banded_spmm_vjp.defvjp(_banded_vjp_fwd, _banded_vjp_bwd)

@@ -107,27 +107,37 @@ class BandedGraphOp(struct.PyTreeNode):
     Fastest representation when the post-RCM band is narrow (see
     :mod:`stgcn_tpu.kernels.banded_spmm`)."""
 
-    slabs: jax.Array    # [nbr, bs, W]
+    slabs: jax.Array    # [nbr, bs, W] (f32/bf16, or int8 with scales)
     lo: jax.Array       # [nbr] int32, 128-aligned window starts
     slabs_t: jax.Array  # transpose pack (backward's Aᵀ)
     lo_t: jax.Array
     n_vertex: int = struct.field(pytree_node=False)
     v_pad: int = struct.field(pytree_node=False)
     use_pallas: bool = struct.field(pytree_node=False, default=True)
+    scales: jax.Array | None = None    # [nbr, bs] per-row dequant (int8)
+    scales_t: jax.Array | None = None
 
     def __call__(self, x: jax.Array, *, scale: float | jax.Array = 1.0) -> jax.Array:
         from stgcn_tpu.kernels import banded_spmm as bk
 
         unit = isinstance(scale, float) and scale == 1.0
-        slabs = self.slabs if unit else self.slabs * scale
-        slabs_t = self.slabs_t if unit else self.slabs_t * scale
+        if self.scales is not None:
+            # int8 pack: fold the scalar into the dequant scales, never
+            # into the quantized values
+            slabs, slabs_t = self.slabs, self.slabs_t
+            scl = self.scales if unit else self.scales * scale
+            scl_t = self.scales_t if unit else self.scales_t * scale
+        else:
+            slabs = self.slabs if unit else self.slabs * scale
+            slabs_t = self.slabs_t if unit else self.slabs_t * scale
+            scl = scl_t = None
         x_vn, lead_c = _fold_to_vn(x)
         v = x_vn.shape[0]
         pad = self.v_pad - v
         if pad:
             x_vn = jnp.pad(x_vn, ((0, pad), (0, 0)))
         y = bk.banded_spmm_vjp(slabs, self.lo, slabs_t, self.lo_t, x_vn,
-                               128, self.use_pallas)
+                               scl, scl_t, 128, self.use_pallas)
         y = y[:v]
         return _unfold_from_vn(y, lead_c)
 
@@ -142,6 +152,11 @@ class BandedGraphOp(struct.PyTreeNode):
         pad = self.v_pad - v
         if pad:
             x_vn = jnp.pad(x_vn, ((0, pad), (0, 0)))
+        if self.scales is not None:
+            # int8 pack: the fused pair kernel has no quantized variant yet;
+            # two quantized single applications instead
+            t1 = self(x)
+            return t1, self(t1, scale=2.0) - x
         t1, t2 = bk.banded_cheb_pair_vjp(self.slabs, self.lo, self.slabs_t,
                                          self.lo_t, x_vn, self.use_pallas)
         return (_unfold_from_vn(t1[:v], lead_c),
@@ -176,11 +191,31 @@ def bcsr_graph_op(gso: GraphShiftOperator, *, block_size: int = 128,
 
 
 def banded_graph_op(gso: GraphShiftOperator, *, dtype=jnp.float32,
-                    use_pallas: bool = True) -> BandedGraphOp:
-    from stgcn_tpu.kernels.banded_spmm import pack_banded_with_transpose
-
+                    use_pallas: bool = True,
+                    quantize: bool = False) -> BandedGraphOp:
     # 256-row slabs measured fastest on v5e (fewer, bigger grid steps;
     # window widens only ~8% over 128-row blocks)
+    if quantize:
+        # int8 slabs with per-row output scales, scattered on device from
+        # COO (the only representation that fits HBM at 1M+ vertices)
+        import scipy.sparse as sp
+
+        from stgcn_tpu.kernels.banded_spmm import pack_banded_device
+
+        csr = sp.csr_matrix(gso.matrix)
+        slabs, lo, vp1, scales = pack_banded_device(csr, block_size=256,
+                                                    dtype=jnp.int8)
+        slabs_t, lo_t, vp2, scales_t = pack_banded_device(
+            csr.T.tocsr(), block_size=256, dtype=jnp.int8)
+        assert vp1 == vp2
+        return BandedGraphOp(slabs=slabs, lo=jnp.asarray(lo),
+                             slabs_t=slabs_t, lo_t=jnp.asarray(lo_t),
+                             n_vertex=gso.n_vertex, v_pad=vp1,
+                             use_pallas=use_pallas,
+                             scales=scales, scales_t=scales_t)
+
+    from stgcn_tpu.kernels.banded_spmm import pack_banded_with_transpose
+
     slabs, lo, slabs_t, lo_t, v_pad = pack_banded_with_transpose(
         gso.matrix, block_size=256)
     return BandedGraphOp(slabs=jnp.asarray(slabs, dtype), lo=jnp.asarray(lo),
@@ -207,4 +242,6 @@ def make_graph_op(gso: GraphShiftOperator, kind: str = "auto", **kw) -> GraphOp:
         return bcsr_graph_op(gso, **kw)
     if kind == "banded":
         return banded_graph_op(gso, **kw)
+    if kind == "banded_int8":
+        return banded_graph_op(gso, quantize=True, **kw)
     raise ValueError(f"unknown graph-op kind {kind!r}")

@@ -213,3 +213,40 @@ def test_graph_op_grads_match_dense():
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_dense),
                                    atol=2e-2, rtol=1e-4,
                                    err_msg=f"grad mismatch for {name}")
+
+
+def test_banded_int8_graph_op_close_to_dense():
+    """int8 banded operator (per-row scales) matches the dense operator to
+    quantization tolerance, forward and d/dx."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stgcn_tpu.data.synthetic import random_road_graph
+    from stgcn_tpu.graph import build_gso
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.ops.graph_op import banded_graph_op, dense_graph_op
+
+    adj = random_road_graph(700, k_neighbors=6, seed=0)
+    art = build_gso(adj, "sym_norm_lap", cheb=True)
+    art = type(art)(matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)),
+                    gso_type=art.gso_type, cheb_rescaled=art.cheb_rescaled,
+                    lam_max=art.lam_max)
+    g_q = banded_graph_op(art, use_pallas=False, quantize=True)
+    g_d = dense_graph_op(art)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 4, 700, 8)).astype(np.float32))
+
+    y_q, y_d = g_q(x), g_d(x)
+    rel = float(jnp.max(jnp.abs(y_q - y_d)) / (jnp.max(jnp.abs(y_d)) + 1e-9))
+    assert rel < 0.02
+
+    gq = jax.grad(lambda xx: jnp.sum(jnp.cos(g_q(xx))))(x)
+    gd = jax.grad(lambda xx: jnp.sum(jnp.cos(g_d(xx))))(x)
+    rel = float(jnp.max(jnp.abs(gq - gd)) / (jnp.max(jnp.abs(gd)) + 1e-9))
+    assert rel < 0.03
+
+    # the scale=2.0 Chebyshev step folds into the dequant scales
+    y2q, y2d = g_q(x, scale=2.0), g_d(x, scale=2.0)
+    rel = float(jnp.max(jnp.abs(y2q - y2d)) / (jnp.max(jnp.abs(y2d)) + 1e-9))
+    assert rel < 0.02
