@@ -127,7 +127,8 @@ def test_banded_resident_matches_reference(tpu_setup):
     stj, lotj = jnp.asarray(slabs_t), jnp.asarray(lo_t)
 
     def loss(xx):
-        return jnp.sum(banded_spmm_vjp(sj, loj, stj, lotj, xx, 256, True)
+        return jnp.sum(banded_spmm_vjp(sj, loj, stj, lotj, xx,
+                                       None, None, 256, True)
                        [:s["n"]] ** 2)
 
     gx = jax.grad(loss)(x)
