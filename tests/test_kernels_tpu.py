@@ -138,3 +138,26 @@ def test_banded_resident_matches_reference(tpu_setup):
     err = float(jnp.abs(gx[:s["n"]] - jnp.asarray(expect, jnp.float32)).max()
                 / (np.abs(expect).max() + 1e-9))
     assert err < 0.05  # default-precision bf16 multiplies in the bwd
+
+
+def test_banded_int8_on_tpu(tpu_setup):
+    """int8 slabs with per-row output scales match the f32 reference to
+    quantization tolerance on hardware (device-side packed)."""
+    import jax.numpy as jnp
+
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.kernels.banded_spmm import (banded_spmm,
+                                               pack_banded_device)
+
+    s = tpu_setup
+    m = permute_matrix(s["art"].matrix, rcm_ordering(s["art"].matrix))
+    slabs, lo, v_pad, scales = pack_banded_device(m, block_size=256,
+                                                  dtype=jnp.int8)
+    rng = np.random.default_rng(5)
+    x_np = rng.standard_normal((v_pad, 64)).astype(np.float32)
+    y = banded_spmm(slabs, jnp.asarray(lo), jnp.asarray(x_np),
+                    block_size=256, scales=scales)
+    expect = m[: s["n"]] @ x_np[: s["n"]].astype(np.float64)
+    rel = float(jnp.abs(y[: s["n"]] - jnp.asarray(expect, jnp.float32)).max()) \
+        / (abs(expect).max() + 1e-9)
+    assert rel < 0.02
