@@ -67,8 +67,6 @@ def tp_param_specs(params, mesh: Mesh, *, axis: str = "model"):
     everything else. GSPMD propagates the activations' channel sharding
     and inserts the collectives; no model-code changes are needed.
     """
-    import jax.numpy as jnp  # noqa: F401
-
     size = mesh.shape[axis]
 
     def spec_for(path, leaf):

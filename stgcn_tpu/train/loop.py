@@ -17,10 +17,8 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import os
 import time
 from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp
