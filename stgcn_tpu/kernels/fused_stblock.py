@@ -4,10 +4,16 @@ One STConvBlock — the reference "TGTND" sandwich (`model/layers.py:233-258`):
 temporal gated conv → graph conv (+align/residual) → ReLU → temporal gated
 conv → LayerNorm([V, C], eps=1e-12) → dropout — computed for a tile of the
 batch entirely in VMEM, with a single HBM read of the block input and a
-single HBM write of the block output. The unfused XLA path round-trips
-~10 activation tensors of shape ``[B, T, V, 64..128]`` through HBM per
-block; at PEMS-BAY scale (V=325) the step is HBM-bound, so fusing is the
-main single-chip lever.
+single HBM write of the block output, versus ~10 activation round-trips
+per block on the unfused path.
+
+Status (measured, see ROADMAP.md): numerically parity-exact and fully
+integrated (``--fused``), but NOT yet faster than the unfused XLA bf16
+path at PEMS-BAY scale — XLA already runs at ~50% of the HBM roofline
+there, and this kernel's f32 VPU work (bf16 transcendentals currently
+miscompile in Mosaic) outweighs the saved traffic. It is kept as the
+basis for configs where activation traffic dominates and for when the
+Mosaic bf16 path unblocks.
 
 Layout design (v2, every choice measured on v5e):
 
