@@ -34,6 +34,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _window_meta(csr: sp.csr_matrix, block_size: int, col_align: int
+                 ) -> tuple[np.ndarray, int, int]:
+    """Per-block-row column-window metadata: aligned window starts, the
+    common (max, aligned) window width, and the natural ``v_pad``."""
+    v = csr.shape[0]
+    bs = block_size
+    nbr = -(-v // bs)
+    lo = np.zeros(nbr, np.int64)
+    hi = np.zeros(nbr, np.int64)
+    indptr, indices = csr.indptr, csr.indices
+    for i in range(nbr):
+        s, e = indptr[i * bs], indptr[min((i + 1) * bs, v)]
+        if e > s:
+            seg = indices[s:e]
+            lo[i], hi[i] = seg.min(), seg.max() + 1
+        else:
+            lo[i], hi[i] = 0, 1
+    lo_al = (lo // col_align) * col_align
+    width = int((hi - lo_al).max())
+    w = _round_up(max(width, col_align), col_align)
+    return lo_al, w, _round_up(max(v, w), col_align)
+
+
 def pack_banded(matrix: sp.spmatrix, *, block_size: int = 128,
                 col_align: int = 128, v_pad: int | None = None
                 ) -> tuple[np.ndarray, np.ndarray, int]:
@@ -48,21 +71,9 @@ def pack_banded(matrix: sp.spmatrix, *, block_size: int = 128,
     bs = block_size
     nbr = -(-v // bs)
 
-    lo = np.zeros(nbr, np.int64)
-    hi = np.zeros(nbr, np.int64)
-    indptr, indices = csr.indptr, csr.indices
-    for i in range(nbr):
-        s, e = indptr[i * bs], indptr[min((i + 1) * bs, v)]
-        if e > s:
-            seg = indices[s:e]
-            lo[i], hi[i] = seg.min(), seg.max() + 1
-        else:
-            lo[i], hi[i] = 0, 1
-    lo_al = (lo // col_align) * col_align
-    width = int((hi - lo_al).max())
-    w = _round_up(max(width, col_align), col_align)
+    lo_al, w, natural = _window_meta(csr, bs, col_align)
     if v_pad is None:
-        v_pad = _round_up(max(v, w), col_align)
+        v_pad = natural
     elif v_pad < max(v, w):
         raise ValueError(f"v_pad={v_pad} too small (need >= {max(v, w)})")
     lo_al = np.minimum(lo_al, v_pad - w)
@@ -399,28 +410,44 @@ def _make_cheb_pair_kernel(bs: int, w: int, tile_n: int, nbr: int, delay: int,
     return kernel
 
 
+def cheb_pair_wavefront_safe(lo, block_size: int) -> bool:
+    """The wavefront schedule (delay = ceil(w/bs)+1) is only valid when
+    every block's window starts at or before its own rows — ``lo[i] <=
+    i*bs`` — i.e. the band contains the diagonal (true for rescaled
+    Laplacians; a strictly super-diagonal window would read unwritten T1
+    scratch). Checked host-side at pack time; callers with a violating
+    pack must use the two-pass path."""
+    lo = np.asarray(lo)
+    return bool(np.all(lo <= np.arange(len(lo), dtype=np.int64) * block_size))
+
+
 def banded_cheb_pair(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
+                     use_pallas: bool = True,
                      precision=None) -> tuple[jax.Array, jax.Array]:
     """``(A x, 2 A (A x) − x)`` — the ks=3 Chebyshev recurrence
     (`model/layers.py:154-161`) with the operator streamed from HBM once.
 
-    Requires x resident-viable (the T1 scratch is another x-sized buffer).
-    CPU / non-viable fallback: two reference applications.
+    Requires x resident-viable (the T1 scratch is another x-sized buffer)
+    and a wavefront-safe pack (:func:`cheb_pair_wavefront_safe` — verified
+    here when ``lo`` is concrete; callers inside ``jit`` must verify at
+    pack time). CPU / non-viable fallback: two applications.
     """
     nbr, bs, w = slabs.shape
     v_pad, n = x.shape
     x_bytes = x.size * x.dtype.itemsize
-    viable = (jax.default_backend() == "tpu"
+    viable = (use_pallas and jax.default_backend() == "tpu"
               and 2 * x_bytes + 4 * bs * w * slabs.dtype.itemsize
               < _RESIDENT_X_BYTES)
+    if viable and not isinstance(lo, jax.core.Tracer):
+        viable = cheb_pair_wavefront_safe(lo, bs)
     if not viable:
-        t1 = banded_spmm(slabs, lo, x, block_size=bs,
-                         use_pallas=jax.default_backend() == "tpu",
+        single = use_pallas and jax.default_backend() == "tpu"
+        t1 = banded_spmm(slabs, lo, x, block_size=bs, use_pallas=single,
                          precision=precision)
         t1p = jnp.pad(t1, ((0, v_pad - t1.shape[0]), (0, 0))) \
             if t1.shape[0] < v_pad else t1[:v_pad]
         t2 = 2.0 * banded_spmm(slabs, lo, t1p, block_size=bs,
-                               use_pallas=jax.default_backend() == "tpu",
+                               use_pallas=single,
                                precision=precision)[:v_pad] - x
         return t1p, t2
 
@@ -473,14 +500,14 @@ def banded_cheb_pair_vjp(slabs, lo, slabs_t, lo_t, x, use_pallas=True):
 
     Backward: ``dT1 = g1 + 2 Aᵀ g2``; ``dx = Aᵀ dT1 − g2`` — two banded
     SpMMs with the transpose pack. Slab gradients are the banded SDDMMs of
-    ``(g1, x)`` and ``(2 g2, T1)`` in jnp form (DCE'd when the operator is
+    ``(dT1, x)`` and ``(2 g2, T1)`` in jnp form (DCE'd when the operator is
     a jit constant, i.e. during training).
     """
-    return banded_cheb_pair(slabs, lo, x)
+    return banded_cheb_pair(slabs, lo, x, use_pallas=use_pallas)
 
 
 def _cheb_pair_fwd(slabs, lo, slabs_t, lo_t, x, use_pallas):
-    t1, t2 = banded_cheb_pair(slabs, lo, x)
+    t1, t2 = banded_cheb_pair(slabs, lo, x, use_pallas=use_pallas)
     return (t1, t2), (slabs, lo, slabs_t, lo_t, x, t1)
 
 
@@ -500,19 +527,24 @@ def _cheb_pair_bwd(use_pallas, res, gs):
     dt1 = g1 + 2.0 * apply_t(g2)
     dx = apply_t(dt1) - g2
 
-    # band-sampled SDDMM for dslabs (jnp; dead code during training)
+    # band-sampled SDDMM for dslabs (jnp; dead code during training).
+    # T1 feeds T2, so the slab gradient through the FIRST application uses
+    # the full T1 cotangent dt1 = g1 + 2 Aᵀ g2, not g1 alone:
+    #   dA = dt1 · xᵀ + 2 g2 · T1ᵀ   (sampled at the band windows)
     nbr, bs, w = slabs.shape
     idx = lo[:, None] + jnp.arange(w)[None, :]
     xw = x[idx]            # [nbr, w, n]
     t1w = t1[idx]
     n_rows = nbr * bs
-    g1b = jnp.pad(g1, ((0, n_rows - g1.shape[0]), (0, 0))).reshape(nbr, bs, -1) \
-        if g1.shape[0] < n_rows else g1[:n_rows].reshape(nbr, bs, -1)
-    g2b = jnp.pad(g2, ((0, n_rows - g2.shape[0]), (0, 0))).reshape(nbr, bs, -1) \
-        if g2.shape[0] < n_rows else g2[:n_rows].reshape(nbr, bs, -1)
-    dslabs = (jnp.einsum("ibn,iwn->ibw", g1b, xw,
+
+    def blocked(g):
+        if g.shape[0] < n_rows:
+            g = jnp.pad(g, ((0, n_rows - g.shape[0]), (0, 0)))
+        return g[:n_rows].reshape(nbr, bs, -1)
+
+    dslabs = (jnp.einsum("ibn,iwn->ibw", blocked(dt1), xw,
                          preferred_element_type=jnp.float32)
-              + 2.0 * jnp.einsum("ibn,iwn->ibw", g2b, t1w,
+              + 2.0 * jnp.einsum("ibn,iwn->ibw", blocked(g2), t1w,
                                  preferred_element_type=jnp.float32)
               ).astype(slabs.dtype)
     return dslabs, None, None, None, dx
@@ -533,20 +565,11 @@ def pack_banded_device(matrix: sp.spmatrix, *, block_size: int = 256,
     v = csr.shape[0]
     bs = block_size
     nbr = -(-v // bs)
-    lo = np.zeros(nbr, np.int64)
-    hi = np.zeros(nbr, np.int64)
-    indptr, indices = csr.indptr, csr.indices
-    for i in range(nbr):
-        s, e = indptr[i * bs], indptr[min((i + 1) * bs, v)]
-        if e > s:
-            seg = indices[s:e]
-            lo[i], hi[i] = seg.min(), seg.max() + 1
-        else:
-            lo[i], hi[i] = 0, 1
-    lo_al = (lo // col_align) * col_align
-    w = _round_up(max(int((hi - lo_al).max()), col_align), col_align)
+    lo_al, w, natural = _window_meta(csr, bs, col_align)
     if v_pad is None:
-        v_pad = _round_up(max(v, w), col_align)
+        v_pad = natural
+    elif v_pad < max(v, w):
+        raise ValueError(f"v_pad={v_pad} too small (need >= {max(v, w)})")
     lo_al = np.minimum(lo_al, v_pad - w).astype(np.int64)
 
     coo = csr.tocoo()

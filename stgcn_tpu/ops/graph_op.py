@@ -114,6 +114,9 @@ class BandedGraphOp(struct.PyTreeNode):
     n_vertex: int = struct.field(pytree_node=False)
     v_pad: int = struct.field(pytree_node=False)
     use_pallas: bool = struct.field(pytree_node=False, default=True)
+    # pack-time wavefront-safety verdict for the fused cheb-pair kernel
+    # (`lo` is a tracer inside jit, so the check can't happen there)
+    pair_safe: bool = struct.field(pytree_node=False, default=True)
     scales: jax.Array | None = None    # [nbr, bs] per-row dequant (int8)
     scales_t: jax.Array | None = None
 
@@ -152,9 +155,9 @@ class BandedGraphOp(struct.PyTreeNode):
         pad = self.v_pad - v
         if pad:
             x_vn = jnp.pad(x_vn, ((0, pad), (0, 0)))
-        if self.scales is not None:
-            # int8 pack: the fused pair kernel has no quantized variant yet;
-            # two quantized single applications instead
+        if self.scales is not None or not self.pair_safe:
+            # int8 pack (no quantized pair variant yet) or a pack whose band
+            # violates the wavefront schedule: two single applications
             t1 = self(x)
             return t1, self(t1, scale=2.0) - x
         t1, t2 = bk.banded_cheb_pair_vjp(self.slabs, self.lo, self.slabs_t,
@@ -195,23 +198,32 @@ def banded_graph_op(gso: GraphShiftOperator, *, dtype=jnp.float32,
                     quantize: bool = False) -> BandedGraphOp:
     # 256-row slabs measured fastest on v5e (fewer, bigger grid steps;
     # window widens only ~8% over 128-row blocks)
+    from stgcn_tpu.kernels.banded_spmm import cheb_pair_wavefront_safe
+
     if quantize:
         # int8 slabs with per-row output scales, scattered on device from
         # COO (the only representation that fits HBM at 1M+ vertices)
         import scipy.sparse as sp
 
-        from stgcn_tpu.kernels.banded_spmm import pack_banded_device
+        from stgcn_tpu.kernels.banded_spmm import (_window_meta,
+                                                   pack_banded_device)
 
         csr = sp.csr_matrix(gso.matrix)
-        slabs, lo, vp1, scales = pack_banded_device(csr, block_size=256,
-                                                    dtype=jnp.int8)
-        slabs_t, lo_t, vp2, scales_t = pack_banded_device(
-            csr.T.tocsr(), block_size=256, dtype=jnp.int8)
-        assert vp1 == vp2
+        csr_t = csr.T.tocsr()
+        # asymmetric matrices can have different natural paddings; pack
+        # both with the shared max so x/g buffers match
+        _, _, vp_f = _window_meta(csr, 256, 128)
+        _, _, vp_t = _window_meta(csr_t, 256, 128)
+        v_pad = max(vp_f, vp_t)
+        slabs, lo, _, scales = pack_banded_device(csr, block_size=256,
+                                                  dtype=jnp.int8, v_pad=v_pad)
+        slabs_t, lo_t, _, scales_t = pack_banded_device(
+            csr_t, block_size=256, dtype=jnp.int8, v_pad=v_pad)
         return BandedGraphOp(slabs=slabs, lo=jnp.asarray(lo),
                              slabs_t=slabs_t, lo_t=jnp.asarray(lo_t),
-                             n_vertex=gso.n_vertex, v_pad=vp1,
+                             n_vertex=gso.n_vertex, v_pad=v_pad,
                              use_pallas=use_pallas,
+                             pair_safe=cheb_pair_wavefront_safe(lo, 256),
                              scales=scales, scales_t=scales_t)
 
     from stgcn_tpu.kernels.banded_spmm import pack_banded_with_transpose
@@ -222,7 +234,8 @@ def banded_graph_op(gso: GraphShiftOperator, *, dtype=jnp.float32,
                          slabs_t=jnp.asarray(slabs_t, dtype),
                          lo_t=jnp.asarray(lo_t),
                          n_vertex=gso.n_vertex, v_pad=v_pad,
-                         use_pallas=use_pallas)
+                         use_pallas=use_pallas,
+                         pair_safe=cheb_pair_wavefront_safe(lo, 256))
 
 
 def make_graph_op(gso: GraphShiftOperator, kind: str = "auto", **kw) -> GraphOp:

@@ -281,9 +281,12 @@ class Trainer:
     def _epoch_plan(self, ds: ForecastDataset, *, shuffle: bool = False,
                     rng=None) -> tuple[jax.Array, jax.Array]:
         """Stack a split's batches into [n_steps, B] starts + [n_steps] valid."""
+        # cache entries hold the dataset object itself, so an id() can never
+        # be recycled by a garbage-collected dataset and serve a stale plan
         key = id(ds)
-        if not shuffle and key in self._plan_cache:
-            return self._plan_cache[key]
+        cached = self._plan_cache.get(key)
+        if not shuffle and cached is not None and cached[0] is ds:
+            return cached[1]
         starts_l, valid_l = [], []
         for starts, n_valid in ds.batches(self.cfg.batch_size, shuffle=shuffle,
                                           rng=rng):
@@ -297,13 +300,14 @@ class Trainer:
             starts_mat = jax.device_put(
                 starts_mat, NamedSharding(self.mesh, P(None, "data")))
         if not shuffle:
-            self._plan_cache[key] = (starts_mat, n_valid_vec)
+            self._plan_cache[key] = (ds, (starts_mat, n_valid_vec))
         return starts_mat, n_valid_vec
 
     def _all_starts_plan(self, ds: ForecastDataset):
         """Device-resident window starts + per-batch valid counts (cached)."""
         key = ("all", id(ds))
-        if key not in self._plan_cache:
+        cached = self._plan_cache.get(key)
+        if cached is None or cached[0] is not ds:
             from stgcn_tpu.data.datasets import window_starts
 
             starts = window_starts(int(ds.series.shape[0]), self.cfg.n_his,
@@ -312,9 +316,9 @@ class Trainer:
             steps = -(-len(starts) // b)
             n_valid = np.full(steps, b, np.int32)
             n_valid[-1] = len(starts) - (steps - 1) * b
-            self._plan_cache[key] = (jnp.asarray(starts),
-                                     jnp.asarray(n_valid))
-        return self._plan_cache[key]
+            cached = (ds, (jnp.asarray(starts), jnp.asarray(n_valid)))
+            self._plan_cache[key] = cached
+        return cached[1]
 
     # ----------------------------------------------------------------- loops
     def train_epoch(self) -> float:

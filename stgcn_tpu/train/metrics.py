@@ -32,7 +32,16 @@ def masked_mse(pred: jax.Array, target: jax.Array, n_valid: jax.Array) -> jax.Ar
 
 def batch_abs_stats(pred: jax.Array, target: jax.Array, n_valid: jax.Array):
     """Per-batch sums for metric accumulation (de-normalized inputs):
-    (Σ|d|, Σd², Σ(|d|/y), Σy, count)."""
+    (Σ|d|, Σd², Σ(|d|/y), Σy, count).
+
+    DOCUMENTED DEVIATION (MAPE only): the reference divides by the raw
+    target (`utility.py:113`), so a zero target yields inf/nan in its MAPE
+    sum — but it also never *returns* MAPE (`utility.py:120-121` comments it
+    out), so there is no observable reference behavior to match. We guard
+    ``y == 0`` with 1.0 so the returned MAPE stays finite on synthetic or
+    zero-speed data. MAE/RMSE/WMAPE — the declared parity triple — are
+    unaffected.
+    """
     b = pred.shape[0]
     mask = (jnp.arange(b) < n_valid)[:, None].astype(pred.dtype)
     d = jnp.abs(target - pred) * mask

@@ -215,6 +215,56 @@ def test_graph_op_grads_match_dense():
                                    err_msg=f"grad mismatch for {name}")
 
 
+def test_cheb_pair_slab_grads_match_dense():
+    """d/dslabs of the fused cheb pair vs autodiff through the dense
+    recurrence — catches the dT1 = g1 + 2 Aᵀ g2 chain term (T1 feeds T2),
+    which the x-grad alone cannot see."""
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.kernels.banded_spmm import (banded_cheb_pair_vjp,
+                                               pack_banded_with_transpose)
+
+    art = make_gso(400, seed=23)
+    m = permute_matrix(art.matrix, rcm_ordering(art.matrix))
+    slabs, lo, slabs_t, lo_t, v_pad = pack_banded_with_transpose(m)
+    slabs = jnp.asarray(slabs, jnp.float32)
+    slabs_t = jnp.asarray(slabs_t, jnp.float32)
+    lo_j, lo_t_j = jnp.asarray(lo), jnp.asarray(lo_t)
+    rng = np.random.default_rng(24)
+    x = np.zeros((v_pad, 8), np.float32)
+    x[:400] = rng.standard_normal((400, 8))
+    x = jnp.asarray(x)
+    a_dense = jnp.zeros((v_pad, v_pad), jnp.float32).at[:400, :400].set(
+        jnp.asarray(m.toarray(), jnp.float32))
+
+    def f_sparse(s, st, xx):
+        t1, t2 = banded_cheb_pair_vjp(s, lo_j, st, lo_t_j, xx, False)
+        return (t1 ** 2).sum() + 3.0 * (t2 ** 2).sum()
+
+    def f_dense(a, xx):
+        t1 = a @ xx
+        t2 = 2.0 * (a @ t1) - xx
+        return (t1 ** 2).sum() + 3.0 * (t2 ** 2).sum()
+
+    ds, dst, dx = jax.grad(f_sparse, argnums=(0, 1, 2))(slabs, slabs_t, x)
+    da, dx_dense = jax.grad(f_dense, argnums=(0, 1))(a_dense, x)
+
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_dense),
+                               atol=1e-3, rtol=1e-4)
+    # slab grads: band-sampled SDDMM over the FULL window must equal the
+    # dense dA at the same positions (windows cover every nonzero)
+    da_np = np.asarray(da)
+    ds_np = np.asarray(ds)
+    nbr, bs, w = ds_np.shape
+    scale = np.abs(da_np).max()
+    for i in range(nbr):
+        rows = slice(i * bs, min((i + 1) * bs, v_pad))
+        cols = slice(lo[i], lo[i] + w)
+        np.testing.assert_allclose(
+            ds_np[i, :rows.stop - rows.start], da_np[rows, cols],
+            atol=1e-4 * scale, rtol=1e-3,
+            err_msg=f"dslabs mismatch at block row {i}")
+
+
 def test_banded_int8_graph_op_close_to_dense():
     """int8 banded operator (per-row scales) matches the dense operator to
     quantization tolerance, forward and d/dx."""

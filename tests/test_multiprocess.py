@@ -9,6 +9,7 @@ devices + shard_map collectives); only the transport differs.
 """
 
 import os
+import socket
 import subprocess
 import sys
 
@@ -19,11 +20,12 @@ import os, sys
 import numpy as np
 
 pid = int(sys.argv[1])
+port = sys.argv[2]
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(coordinator_address="localhost:12455",
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                            num_processes=2, process_id=pid)
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -63,16 +65,27 @@ assert err < 2e-4, err
 """
 
 
-@pytest.mark.skipif(os.environ.get("STGCN_TEST_MULTIPROCESS") != "1",
-                    reason="multi-process test needs STGCN_TEST_MULTIPROCESS=1 "
-                           "(spawns subprocesses; run explicitly)")
+def _free_port() -> int:
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.skipif(os.environ.get("STGCN_TEST_MULTIPROCESS") == "0",
+                    reason="disabled via STGCN_TEST_MULTIPROCESS=0")
 def test_two_process_ring_spmm(tmp_path):
+    # runs by default on a dynamically-allocated coordinator port; the only
+    # skip paths are an explicit opt-out or a sandbox that forbids sockets
+    try:
+        port = _free_port()
+    except OSError as e:  # pragma: no cover - sandboxed environments
+        pytest.skip(f"cannot bind localhost sockets here: {e}")
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [subprocess.Popen([sys.executable, str(script), str(i)],
+    procs = [subprocess.Popen([sys.executable, str(script), str(i), str(port)],
                               stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                               text=True, env=env, cwd="/root/repo")
              for i in range(2)]
