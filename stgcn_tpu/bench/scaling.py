@@ -1,19 +1,32 @@
 """Edges/s scaling-efficiency harness (BASELINE: measured at 1 chip,
 1 host, N>=2 hosts; target >=80% on a 2-host slice).
 
-Measures the vertex-partitioned ring SpMM (`stgcn_tpu/dist/halo.py`) on
-meshes of increasing ``graph``-axis size over the same synthetic road
-graph, and reports ``efficiency(P) = t(1) / t(P) / P`` — the fraction of
-perfect linear scaling retained. With one chip per shard the ring's
-ppermute rides ICI (intra-slice) or DCN (multi-host via
-``jax.distributed``); the harness itself is topology-agnostic.
+Measures the vertex-partitioned SpMM on meshes of increasing
+``graph``-axis size over the same synthetic road graph, and reports
+``efficiency(P) = t(1) / t(P) / P`` — the fraction of perfect linear
+scaling retained.
 
+Two operators (``--op``):
+
+- ``banded`` (default) — per-shard banded slab packs with boundary-only
+  halo exchange (:class:`stgcn_tpu.dist.BandedShardedGraphOp`): per-shard
+  communication is ``2·halo·N`` bytes regardless of shard count. This is
+  the only representation that reaches the 100k/1M-vertex BASELINE
+  configs (the dense ring needs O(V²/P) memory per shard).
+- ``ring`` — the dense row-block ring (kept for comparison at small V).
+
+``--quantize`` packs int8 slabs (per-row output scales) — required at the
+1M-vertex scale where bf16 slabs exceed HBM.
+
+With one chip per shard the exchange rides ICI (intra-slice) or DCN
+(multi-host via ``jax.distributed``); the harness is topology-agnostic.
 On this dev environment only one physical TPU chip exists, so the
-harness's multi-device path is validated on a virtual CPU mesh
-(``--xla_force_host_platform_device_count``): the numbers there check the
-*measurement path and partitioned-kernel correctness*, not silicon speed.
+multi-device path is validated on a virtual CPU mesh
+(``--xla_force_host_platform_device_count``): those numbers check the
+measurement path and partitioned-kernel correctness, not silicon speed.
 
-Run: ``python -m stgcn_tpu.bench.scaling [--vertices 100000] [--parts 1 2 4 8]``
+Run: ``python -m stgcn_tpu.bench.scaling [--vertices 100000]
+[--parts 1 2 4 8] [--op banded|ring] [--quantize]``
 """
 
 from __future__ import annotations
@@ -24,15 +37,18 @@ import sys
 import time
 
 
-def measure_ring_spmm(n_vertex: int = 100_000, n_feat: int = 128,
-                      parts: tuple[int, ...] = (1, 2, 4, 8),
-                      reps: int = 30, seed: int = 0) -> dict:
+def measure_spmm_scaling(n_vertex: int = 100_000, n_feat: int = 128,
+                         parts: tuple[int, ...] = (1, 2, 4, 8),
+                         reps: int = 30, seed: int = 0, op: str = "banded",
+                         quantize: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from stgcn_tpu.data.synthetic import random_road_graph
-    from stgcn_tpu.dist import make_mesh, sharded_graph_op
+    from stgcn_tpu.dist import (banded_sharded_graph_op, make_mesh,
+                                sharded_graph_op)
     from stgcn_tpu.graph import build_gso
     from stgcn_tpu.utils.timing import device_sync
 
@@ -49,34 +65,55 @@ def measure_ring_spmm(n_vertex: int = 100_000, n_feat: int = 128,
                   file=sys.stderr)
             continue
         mesh = make_mesh(data=1, graph=p)
-        gop, part = sharded_graph_op(art, mesh)
+        extra = {}
+        if op == "banded":
+            gop, part = banded_sharded_graph_op(art, mesh, quantize=quantize)
+            itemsize = 2 if quantize else gop.slabs.dtype.itemsize
+            extra["halo_rows"] = gop.halo
+            extra["comm_bytes_per_shard"] = (
+                2 * gop.halo * n_feat * jnp.dtype(jnp.float32).itemsize)
+            extra["interior_frac"] = ((gop.interior[1] - gop.interior[0])
+                                      / gop.slabs.shape[1])
+        else:
+            gop, part = sharded_graph_op(art, mesh)
+            s = gop.blocks.shape[1]
+            extra["comm_bytes_per_shard"] = (
+                (p - 1) * s * n_feat * jnp.dtype(jnp.float32).itemsize)
         x = jnp.asarray(
             rng.standard_normal((gop.n_vertex_pad, n_feat)).astype(np.float32))
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         x = jax.device_put(x, NamedSharding(mesh, P("graph", None)))
 
-        from stgcn_tpu.dist.halo import ring_spmm
-
-        f = jax.jit(lambda b, xx, m=mesh: ring_spmm(b, xx, m))
-        y = f(gop.blocks, x)
+        # the operator is a jit ARGUMENT (pytree), not a closure constant:
+        # captured slab packs blow the remote-compile payload limit
+        f = jax.jit(lambda g, xx: g(xx))
+        y = f(gop, x)
         device_sync(y)
         t0 = time.time()
         for _ in range(reps):
-            y = f(gop.blocks, x)
+            y = f(gop, x)
         device_sync(y)
         dt = (time.time() - t0) / reps
         eps = nnz / dt
         if base is None:
             base = (p, dt)
         eff = (base[1] / dt) * (base[0] / p)
-        results[p] = {"time_s": dt, "edges_per_s": eps, "efficiency": eff}
+        results[p] = {"time_s": dt, "edges_per_s": eps, "efficiency": eff,
+                      **extra}
         print(f"[scaling] P={p}: {dt*1e3:8.3f} ms  {eps:.3e} edges/s  "
-              f"efficiency {eff:.2f}", file=sys.stderr)
+              f"efficiency {eff:.2f}  {extra}", file=sys.stderr)
     return {"n_vertex": n_vertex, "nnz": int(nnz), "n_feat": n_feat,
+            "op": op, "quantize": quantize,
             "backend": jax.default_backend(),
             "device_kind": jax.devices()[0].device_kind,
             "parts": {str(k): v for k, v in results.items()}}
+
+
+def measure_ring_spmm(n_vertex: int = 100_000, n_feat: int = 128,
+                      parts: tuple[int, ...] = (1, 2, 4, 8),
+                      reps: int = 30, seed: int = 0) -> dict:
+    """Back-compat wrapper: the dense ring measurement."""
+    return measure_spmm_scaling(n_vertex, n_feat, parts, reps, seed,
+                                op="ring")
 
 
 def main(argv=None):
@@ -85,9 +122,29 @@ def main(argv=None):
     ap.add_argument("--feat", type=int, default=128)
     ap.add_argument("--parts", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--reps", type=int, default=30)
+    ap.add_argument("--op", choices=["banded", "ring"], default="banded")
+    ap.add_argument("--quantize", action="store_true")
+    ap.add_argument("--platform", default=None,
+                    help="pin the jax platform in-process (a sitecustomize "
+                         "may force a TPU plugin; env vars don't win)")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="virtual CPU device count (with --platform cpu)")
     args = ap.parse_args(argv)
-    out = measure_ring_spmm(args.vertices, args.feat, tuple(args.parts),
-                            args.reps)
+    if args.devices:
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={args.devices}"
+            ).strip()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    out = measure_spmm_scaling(args.vertices, args.feat, tuple(args.parts),
+                               args.reps, op=args.op, quantize=args.quantize)
     print(json.dumps(out))
 
 

@@ -126,11 +126,14 @@ def build_trainer(cfg: TrainConfig, *, dataset: str, data_root: str = "data",
     """Data + graph + model assembly (reference `data_preparate` +
     `prepare_model`, `main.py:96-158`).
 
-    With ``mesh``: the GSO becomes a vertex-partitioned
-    :class:`~stgcn_tpu.dist.ShardedGraphOp` (ring halo exchange on the
-    ``graph`` axis), the series' sensor columns are permuted into partition
-    order, and the series shards over the ``graph`` axis. All metrics are
-    permutation-invariant, so results match the single-device run.
+    With ``mesh``: the GSO becomes a vertex-partitioned operator on the
+    ``graph`` axis — a sparse :class:`~stgcn_tpu.dist.BandedShardedGraphOp`
+    (per-shard banded packs + boundary halo exchange; the path that scales
+    to 100k/1M vertices) for large graphs or when ``graph_op_kind`` names a
+    banded kind, else the dense ring :class:`~stgcn_tpu.dist.ShardedGraphOp`.
+    The series' sensor columns are permuted into partition order and the
+    series shards over ``graph``. All metrics are permutation-invariant,
+    so results match the single-device run.
     """
     import jax
     import jax.numpy as jnp
@@ -144,9 +147,15 @@ def build_trainer(cfg: TrainConfig, *, dataset: str, data_root: str = "data",
 
     perm = None
     if mesh is not None:
-        from stgcn_tpu.dist import sharded_graph_op
+        from stgcn_tpu.dist import banded_sharded_graph_op, sharded_graph_op
 
-        gop, partition = sharded_graph_op(art, mesh)
+        banded = graph_op_kind in ("banded", "banded_int8") or (
+            graph_op_kind == "auto" and art.n_vertex > 4096)
+        if banded:
+            gop, partition = banded_sharded_graph_op(
+                art, mesh, quantize=(graph_op_kind == "banded_int8"))
+        else:
+            gop, partition = sharded_graph_op(art, mesh)
         perm = partition.perm
     else:
         if graph_op_kind in ("banded", "banded_int8") or (

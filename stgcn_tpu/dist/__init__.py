@@ -12,4 +12,11 @@ from stgcn_tpu.dist.mesh import (  # noqa: F401
     named_sharding,
     replicated,
 )
-from stgcn_tpu.dist.halo import ShardedGraphOp, ring_spmm, sharded_graph_op  # noqa: F401
+from stgcn_tpu.dist.halo import (  # noqa: F401
+    BandedShardedGraphOp,
+    ShardedGraphOp,
+    banded_sharded_graph_op,
+    halo_banded_spmm,
+    ring_spmm,
+    sharded_graph_op,
+)

@@ -1,18 +1,28 @@
-"""Vertex-partitioned SpMM with ring halo exchange.
+"""Vertex-partitioned SpMM over the ``graph`` mesh axis.
 
-Each of the P shards on the ``graph`` mesh axis owns a contiguous row block
-of the (RCM-reordered) GSO and the matching vertex slice of the feature
-tensor. Aggregation runs as a P-step ring: at step k a shard multiplies its
-``A`` columns belonging to the block currently in hand while the block is
-simultaneously forwarded to the left neighbour with ``ppermute`` — XLA
-overlaps the collective-permute with the local matmul, which is the
-interior-compute/halo-communication overlap called for by the design brief
-(SURVEY §2.9). After P steps every shard has consumed every vertex block
-exactly once; no full ``all_gather`` of the feature tensor is ever
-materialized.
+Two sharded operators, both net-new design (the reference is single-device,
+`main.py:70-77`; SURVEY §2.9 mandates these):
+
+1. :class:`BandedShardedGraphOp` — the production path. Each shard owns a
+   contiguous row block of the RCM-reordered GSO as *banded slabs* (the
+   same representation as the single-chip fast path) plus a boundary
+   **halo exchange**: only ``halo`` rows of features cross each
+   neighbouring ICI/DCN link per application (``2·halo·N`` bytes/shard,
+   the edge cut — independent of shard count). Interior blocks — whose
+   column windows lie entirely in the local vertex range — multiply
+   against local features only, so XLA's latency-hiding scheduler overlaps
+   the two ``ppermute``s with the interior SpMM.
+
+2. :class:`ShardedGraphOp` — dense row-block ring (kept for small graphs
+   and as the fallback when the band is wider than a shard). Per-shard
+   communication is ``(P−1)·s·N`` regardless of cut; memory is O(V²/P) —
+   it cannot reach the 100k/1M-vertex configs.
 """
 
 from __future__ import annotations
+
+import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -20,10 +30,22 @@ import numpy as np
 from flax import struct
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 top-level API
+    from jax import shard_map as _shard_map_new
+
+    def shard_map(f, *, mesh, in_specs, out_specs):
+        # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+        # annotation, which the checker (jax >= 0.8) rejects inside shard_map
+        return _shard_map_new(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=False)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from stgcn_tpu.graph.gso import GraphShiftOperator
-from stgcn_tpu.graph.partition import GraphPartition, make_partition, partition_row_blocks
+from stgcn_tpu.graph.partition import (BandedShardPack, GraphPartition,
+                                       make_partition, pack_banded_shards,
+                                       partition_row_blocks)
 from stgcn_tpu.ops.graph_op import _fold_to_vn, _unfold_from_vn
 
 
@@ -117,3 +139,242 @@ def sharded_graph_op(gso: GraphShiftOperator, mesh: Mesh, *, axis: str = "graph"
     blocks_dev = jax.device_put(jnp.asarray(blocks), sharding)
     return (ShardedGraphOp(blocks=blocks_dev, mesh=mesh, axis=axis,
                            n_vertex=part.n_vertex, precision=precision), part)
+
+
+# ---------------------------------------------------------------------------
+# banded sharded operator: per-shard slab packs + boundary halo exchange
+# ---------------------------------------------------------------------------
+
+
+class _HaloCfg(NamedTuple):
+    """Hashable static config for the custom-VJP halo SpMM (a custom_vjp
+    nondiff argument)."""
+
+    mesh: Mesh
+    axis: str
+    halo: int
+    halo_t: int
+    interior: tuple[int, int]
+    interior_t: tuple[int, int]
+    block_size: int
+    use_pallas: bool
+
+
+def _exchange_halo(x_p: jax.Array, halo: int, axis: str) -> jax.Array:
+    """Per-shard boundary exchange: returns ``[halo + s + halo, N]`` —
+    the left neighbour's last ``halo`` rows, the local block, the right
+    neighbour's first ``halo`` rows. Edge shards receive zeros (harmless:
+    no slab entry references columns outside the padded matrix)."""
+    if halo == 0:
+        return x_p
+    n_parts = lax.axis_size(axis)
+    fwd = [(i, i + 1) for i in range(n_parts - 1)]
+    bwd = [(i + 1, i) for i in range(n_parts - 1)]
+    halo_l = lax.ppermute(x_p[-halo:], axis, fwd)
+    halo_r = lax.ppermute(x_p[:halo], axis, bwd)
+    return jnp.concatenate([halo_l, x_p, halo_r], axis=0)
+
+
+def _local_halo_spmm(slabs_p, lo_p, scales_p, x_p, *, axis, halo, interior,
+                     block_size, use_pallas):
+    """Per-shard body: halo exchange + banded SpMM, interior blocks first
+    (they depend only on local features, so the ppermutes run concurrently
+    with their matmul under XLA's latency-hiding scheduler)."""
+    from stgcn_tpu.kernels.banded_spmm import banded_spmm
+
+    nbr_s = slabs_p.shape[0]
+    a, b = interior
+    segs = []  # (block range, needs extended buffer)
+    if a > 0:
+        segs.append((0, a, True))
+    if b > a:
+        segs.append((a, b, False))
+    if nbr_s > b:
+        segs.append((b, nbr_s, True))
+    if not segs:
+        segs = [(0, nbr_s, True)]
+
+    def run(s0, s1, xx, off):
+        return banded_spmm(slabs_p[s0:s1], lo_p[s0:s1] - off, xx,
+                           block_size=block_size, use_pallas=use_pallas,
+                           scales=None if scales_p is None
+                           else scales_p[s0:s1])
+
+    ys = {}
+    for s0, s1, ext in segs:  # interior first: independent of the exchange
+        if not ext:
+            ys[s0] = run(s0, s1, x_p, halo)
+    x_ext = _exchange_halo(x_p, halo, axis)
+    for s0, s1, ext in segs:
+        if ext:
+            ys[s0] = run(s0, s1, x_ext, 0)
+    return jnp.concatenate([ys[s0] for s0, _, _ in segs], axis=0)
+
+
+def _halo_apply(cfg: _HaloCfg, slabs, lo, scales, x, *, transpose: bool):
+    halo = cfg.halo_t if transpose else cfg.halo
+    interior = cfg.interior_t if transpose else cfg.interior
+
+    def local(sl, lo_, x_, scl=None):
+        return _local_halo_spmm(sl[0], lo_[0],
+                                None if scl is None else scl[0], x_,
+                                axis=cfg.axis, halo=halo, interior=interior,
+                                block_size=cfg.block_size,
+                                use_pallas=cfg.use_pallas)
+
+    ax = cfg.axis
+    if scales is None:
+        fn = shard_map(local, mesh=cfg.mesh,
+                       in_specs=(P(ax), P(ax), P(ax)),
+                       out_specs=P(ax))
+        return fn(slabs, lo, x)
+    fn = shard_map(lambda sl, lo_, x_, scl: local(sl, lo_, x_, scl),
+                   mesh=cfg.mesh,
+                   in_specs=(P(ax), P(ax), P(ax), P(ax)),
+                   out_specs=P(ax))
+    return fn(slabs, lo, x, scales)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def halo_banded_spmm(cfg: _HaloCfg, slabs, lo, slabs_t, lo_t, x,
+                     scales=None, scales_t=None):
+    """``y[Vpad, N] = A @ x`` with ``A`` as per-shard banded packs and
+    boundary-only halo exchange (comm = 2·halo·N per shard per call).
+
+    d/dx runs the transpose pack through the same exchange; d/dslabs is
+    the band-sampled SDDMM per shard (jnp; DCE'd when the operator is a
+    jit constant). int8 packs (``scales`` set) freeze the edge weights.
+    """
+    return _halo_apply(cfg, slabs, lo, scales, x, transpose=False)
+
+
+def _halo_vjp_fwd(cfg, slabs, lo, slabs_t, lo_t, x, scales, scales_t):
+    y = _halo_apply(cfg, slabs, lo, scales, x, transpose=False)
+    return y, (slabs, lo, slabs_t, lo_t, x, scales, scales_t)
+
+
+def _halo_vjp_bwd(cfg, res, g):
+    slabs, lo, slabs_t, lo_t, x, scales, scales_t = res
+    dx = _halo_apply(cfg, slabs_t, lo_t, scales_t, g, transpose=True)
+    if scales is not None:  # quantized pack: weights frozen
+        return jnp.zeros_like(slabs), None, None, None, dx, None, None
+
+    def local_sddmm(g_, x_, lo_):
+        x_ext = _exchange_halo(x_, cfg.halo, cfg.axis)
+        nbr_s = lo_.shape[1]
+        bs = cfg.block_size
+        w = slabs.shape[-1]
+        idx = lo_[0][:, None] + jnp.arange(w)[None, :]
+        windows = x_ext[idx]                       # [nbr_s, w, n]
+        gb = g_.reshape(nbr_s, bs, -1)
+        return jnp.einsum("ibn,iwn->ibw", gb, windows,
+                          preferred_element_type=jnp.float32)[None]
+
+    ax = cfg.axis
+    fn = shard_map(local_sddmm, mesh=cfg.mesh,
+                   in_specs=(P(ax), P(ax), P(ax)), out_specs=P(ax))
+    dslabs = fn(g, x, lo).astype(slabs.dtype)
+    return dslabs, None, None, None, dx, None, None
+
+
+halo_banded_spmm.defvjp(_halo_vjp_fwd, _halo_vjp_bwd)
+
+
+class BandedShardedGraphOp(struct.PyTreeNode):
+    """Sparse (banded) mesh-sharded GSO with boundary halo exchange —
+    drop-in for the :class:`~stgcn_tpu.ops.GraphOp` interface; the sparse
+    multi-chip path for the 100k/1M-vertex configs (BASELINE configs[3-4]).
+
+    ``slabs [P, nbr_s, bs, W]`` / ``lo [P, nbr_s]`` sharded over ``axis``;
+    offsets are ext-buffer-relative (see
+    :class:`stgcn_tpu.graph.partition.BandedShardPack`). Vertex indices
+    refer to the permuted (RCM) ordering."""
+
+    slabs: jax.Array
+    lo: jax.Array
+    slabs_t: jax.Array
+    lo_t: jax.Array
+    scales: jax.Array | None
+    scales_t: jax.Array | None
+    mesh: Mesh = struct.field(pytree_node=False)
+    axis: str = struct.field(pytree_node=False)
+    halo: int = struct.field(pytree_node=False)
+    halo_t: int = struct.field(pytree_node=False)
+    interior: tuple = struct.field(pytree_node=False)
+    interior_t: tuple = struct.field(pytree_node=False)
+    block_size: int = struct.field(pytree_node=False)
+    n_vertex: int = struct.field(pytree_node=False)
+    use_pallas: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def n_vertex_pad(self) -> int:
+        return self.slabs.shape[0] * self.slabs.shape[1] * self.slabs.shape[2]
+
+    @property
+    def _cfg(self) -> _HaloCfg:
+        return _HaloCfg(mesh=self.mesh, axis=self.axis, halo=self.halo,
+                        halo_t=self.halo_t, interior=self.interior,
+                        interior_t=self.interior_t,
+                        block_size=self.block_size,
+                        use_pallas=self.use_pallas)
+
+    def _scaled(self, scale):
+        unit = isinstance(scale, float) and scale == 1.0
+        if self.scales is not None:
+            scl = self.scales if unit else self.scales * scale
+            scl_t = self.scales_t if unit else self.scales_t * scale
+            return self.slabs, self.slabs_t, scl, scl_t
+        slabs = self.slabs if unit else self.slabs * scale
+        slabs_t = self.slabs_t if unit else self.slabs_t * scale
+        return slabs, slabs_t, None, None
+
+    def __call__(self, x: jax.Array, *, scale: float | jax.Array = 1.0) -> jax.Array:
+        slabs, slabs_t, scl, scl_t = self._scaled(scale)
+        x_vn, lead_c = _fold_to_vn(x)
+        v = x_vn.shape[0]
+        pad = self.n_vertex_pad - v
+        if pad:
+            x_vn = jnp.pad(x_vn, ((0, pad), (0, 0)))
+        y = halo_banded_spmm(self._cfg, slabs, self.lo, slabs_t, self.lo_t,
+                             x_vn, scl, scl_t)
+        return _unfold_from_vn(y[:v], lead_c)
+
+    def cheb_pair(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """ks=3 Chebyshev recurrence; T2's aggregation needs T1's halo, so
+        this is two halo applications (the single-chip wavefront fusion
+        cannot cross shard boundaries)."""
+        t1 = self(x)
+        return t1, self(t1, scale=2.0) - x
+
+
+def banded_sharded_graph_op(gso: GraphShiftOperator, mesh: Mesh, *,
+                            axis: str = "graph", block_size: int = 256,
+                            quantize: bool = False, dtype=jnp.float32,
+                            use_pallas: bool = True, reorder: bool = True
+                            ) -> tuple[BandedShardedGraphOp, GraphPartition]:
+    """Partition a GSO into per-shard banded packs with boundary halos.
+    Returns the operator and the partition metadata. Raises ValueError when
+    the post-RCM band is too wide for single-hop exchange at this shard
+    count (callers may fall back to :func:`sharded_graph_op`)."""
+    import scipy.sparse as sp
+
+    n_parts = mesh.shape[axis]
+    part, pm = make_partition(gso.matrix, n_parts, reorder=reorder,
+                              align=block_size)
+    pf = pack_banded_shards(pm, part, block_size=block_size, quantize=quantize)
+    pt = pack_banded_shards(sp.csr_matrix(pm).T.tocsr(), part,
+                            block_size=block_size, quantize=quantize)
+    sh = lambda ndim: NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+    put = lambda a, dt=None: jax.device_put(
+        jnp.asarray(a) if dt is None else jnp.asarray(a, dt), sh(a.ndim))
+    slab_dt = None if quantize else dtype
+    op = BandedShardedGraphOp(
+        slabs=put(pf.slabs, slab_dt), lo=put(pf.lo),
+        slabs_t=put(pt.slabs, slab_dt), lo_t=put(pt.lo),
+        scales=None if pf.scales is None else put(pf.scales),
+        scales_t=None if pt.scales is None else put(pt.scales),
+        mesh=mesh, axis=axis, halo=pf.halo, halo_t=pt.halo,
+        interior=pf.interior, interior_t=pt.interior,
+        block_size=block_size, n_vertex=part.n_vertex,
+        use_pallas=use_pallas)
+    return op, part

@@ -90,6 +90,121 @@ def partition_row_blocks(pm: sp.csr_matrix, part: GraphPartition) -> np.ndarray:
     return blocks
 
 
+@dataclasses.dataclass(frozen=True)
+class BandedShardPack:
+    """Per-shard banded slabs for the halo-exchange sharded SpMM.
+
+    Shard ``p`` owns rows ``[p·s, (p+1)·s)`` of the permuted GSO, packed as
+    ``nbr_s = s/bs`` dense ``[bs, W]`` slabs over per-block column windows
+    (exactly the single-chip banded representation, re-partitioned). All
+    window offsets are *relative to the shard's extended feature buffer*
+    ``[halo + s + halo, N]`` — the shard's own vertex block plus a
+    ``halo``-row boundary strip from each neighbour. This makes per-shard
+    communication ``2·halo·N`` per application (the edge-cut boundary),
+    independent of the number of shards — unlike the ring, whose volume is
+    ``(P−1)·s·N`` regardless of cut (the reference has no distributed
+    support at all; SURVEY §2.9 mandates this design).
+
+    ``interior = (a, b)``: block rows ``[a, b)`` have windows entirely
+    inside the local vertex range *in every shard* — they multiply against
+    the local features only and can overlap with the halo exchange.
+    """
+
+    slabs: np.ndarray            # [P, nbr_s, bs, W]
+    lo: np.ndarray               # [P, nbr_s] int32, 128-aligned, ext-relative
+    halo: int                    # rows exchanged with each neighbour (128-aligned)
+    interior: tuple[int, int]    # [a, b) interior block-row range
+    block_size: int
+    scales: np.ndarray | None = None   # [P, nbr_s, bs] per-row dequant (int8)
+
+
+def pack_banded_shards(pm: sp.csr_matrix, part: GraphPartition, *,
+                       block_size: int = 256, quantize: bool = False,
+                       max_halo: int | None = None) -> BandedShardPack:
+    """Pack the permuted+padded GSO into per-shard banded slabs with a
+    boundary halo (see :class:`BandedShardPack`).
+
+    Requires ``part.part_size % block_size == 0`` (use
+    ``make_partition(..., align=block_size)``). Raises if the band is so
+    wide that the halo would exceed the shard size (single-hop neighbour
+    exchange impossible — fall back to the ring)."""
+    from stgcn_tpu.kernels.banded_spmm import _round_up, _window_meta
+
+    s, p_n = part.part_size, part.n_parts
+    bs = block_size
+    if s % bs:
+        raise ValueError(f"part_size {s} not a multiple of block_size {bs}")
+    nbr_s = s // bs
+    nbr = p_n * nbr_s
+    csr = sp.csr_matrix(pm)
+    assert csr.shape[0] == part.n_vertex_pad, (csr.shape, part.n_vertex_pad)
+
+    lo_al, hi, w, _ = _window_meta(csr, bs, 128)
+    blk_part = np.arange(nbr) // nbr_s
+    own_lo = blk_part * s
+    own_hi = (blk_part + 1) * s
+    overhang = np.maximum(np.maximum(own_lo - lo_al, hi - own_hi), 0)
+    halo = int(_round_up(int(overhang.max()), 128)) if overhang.max() > 0 else 0
+    # the uniform window width must fit in the extended buffer s + 2*halo
+    if w > s + 2 * halo:
+        halo = int(_round_up(-(-(w - s) // 2), 128))
+    limit = max_halo if max_halo is not None else s
+    if halo > limit:
+        raise ValueError(
+            f"halo {halo} exceeds limit {limit} (band too wide for "
+            f"single-hop exchange at {p_n} shards of {s} rows)")
+
+    # final window starts: prefer the natural aligned start, clamped into
+    # the extended range [own_lo - halo, own_hi + halo - w] (coverage of
+    # the true entry extent is guaranteed by the halo definition)
+    lo_f = np.clip(lo_al, own_lo - halo, own_hi + halo - w)
+
+    # scatter entries into the slabs
+    coo = csr.tocoo()
+    br = coo.row // bs
+    vals = coo.data.astype(np.float32)
+    scales = None
+    if quantize:
+        row_max = np.zeros(nbr * bs, np.float32)
+        np.maximum.at(row_max, coo.row, np.abs(vals))
+        row_scale = np.where(row_max > 0, row_max / 127.0, 1.0)
+        vals = np.clip(np.round(vals / row_scale[coo.row]), -127, 127)
+        scales = row_scale.reshape(p_n, nbr_s, bs)
+    slabs = np.zeros((nbr, bs, w), np.int8 if quantize else np.float32)
+    cols_rel = coo.col - lo_f[br]
+    assert (cols_rel >= 0).all() and (cols_rel < w).all()
+    slabs[br, coo.row - br * bs, cols_rel] = vals
+
+    # ext-relative offsets: lo_rel = lo_f - (own_lo - halo); 128-aligned
+    # because lo_f, own_lo (s mult of bs>=128) and halo all are
+    lo_rel = (lo_f - (own_lo - halo)).astype(np.int32)
+    assert (lo_rel % 128 == 0).all()
+    assert (lo_rel >= 0).all() and (lo_rel + w <= s + 2 * halo).all()
+
+    # interior block rows (windows local in EVERY shard): longest
+    # contiguous run of all-shard-interior block indices
+    lo2 = lo_rel.reshape(p_n, nbr_s)
+    is_int = ((lo2 >= halo) & (lo2 + w <= halo + s)).all(axis=0)
+    a = b = 0
+    run_a = run_len = 0
+    i = 0
+    while i < nbr_s:
+        if is_int[i]:
+            j = i
+            while j < nbr_s and is_int[j]:
+                j += 1
+            if j - i > run_len:
+                run_a, run_len = i, j - i
+            i = j
+        else:
+            i += 1
+    a, b = run_a, run_a + run_len
+
+    return BandedShardPack(
+        slabs=slabs.reshape(p_n, nbr_s, bs, w), lo=lo2,
+        halo=halo, interior=(a, b), block_size=bs, scales=scales)
+
+
 def halo_stats(pm: sp.csr_matrix, part: GraphPartition) -> dict:
     """Edge-cut / halo diagnostics for a partition."""
     s = part.part_size

@@ -35,9 +35,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _window_meta(csr: sp.csr_matrix, block_size: int, col_align: int
-                 ) -> tuple[np.ndarray, int, int]:
-    """Per-block-row column-window metadata: aligned window starts, the
-    common (max, aligned) window width, and the natural ``v_pad``."""
+                 ) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Per-block-row column-window metadata: aligned window starts, raw
+    entry-extent ends, the common (max, aligned) window width, and the
+    natural ``v_pad``."""
     v = csr.shape[0]
     bs = block_size
     nbr = -(-v // bs)
@@ -50,11 +51,13 @@ def _window_meta(csr: sp.csr_matrix, block_size: int, col_align: int
             seg = indices[s:e]
             lo[i], hi[i] = seg.min(), seg.max() + 1
         else:
-            lo[i], hi[i] = 0, 1
+            # empty block row: park the window at the block's own diagonal
+            # (a window at column 0 would inflate the sharded pack's halo)
+            lo[i], hi[i] = i * bs, i * bs + 1
     lo_al = (lo // col_align) * col_align
     width = int((hi - lo_al).max())
     w = _round_up(max(width, col_align), col_align)
-    return lo_al, w, _round_up(max(v, w), col_align)
+    return lo_al, hi, w, _round_up(max(v, w), col_align)
 
 
 def pack_banded(matrix: sp.spmatrix, *, block_size: int = 128,
@@ -71,7 +74,7 @@ def pack_banded(matrix: sp.spmatrix, *, block_size: int = 128,
     bs = block_size
     nbr = -(-v // bs)
 
-    lo_al, w, natural = _window_meta(csr, bs, col_align)
+    lo_al, _, w, natural = _window_meta(csr, bs, col_align)
     if v_pad is None:
         v_pad = natural
     elif v_pad < max(v, w):
@@ -565,7 +568,7 @@ def pack_banded_device(matrix: sp.spmatrix, *, block_size: int = 256,
     v = csr.shape[0]
     bs = block_size
     nbr = -(-v // bs)
-    lo_al, w, natural = _window_meta(csr, bs, col_align)
+    lo_al, _, w, natural = _window_meta(csr, bs, col_align)
     if v_pad is None:
         v_pad = natural
     elif v_pad < max(v, w):

@@ -212,8 +212,8 @@ def banded_graph_op(gso: GraphShiftOperator, *, dtype=jnp.float32,
         csr_t = csr.T.tocsr()
         # asymmetric matrices can have different natural paddings; pack
         # both with the shared max so x/g buffers match
-        _, _, vp_f = _window_meta(csr, 256, 128)
-        _, _, vp_t = _window_meta(csr_t, 256, 128)
+        _, _, _, vp_f = _window_meta(csr, 256, 128)
+        _, _, _, vp_t = _window_meta(csr_t, 256, 128)
         v_pad = max(vp_f, vp_t)
         slabs, lo, _, scales = pack_banded_device(csr, block_size=256,
                                                   dtype=jnp.int8, v_pad=v_pad)

@@ -207,6 +207,12 @@ class Trainer:
                 step, (params, opt_state), (starts_mat, n_valid_vec, idx_vec))
             return params, opt_state, losses
 
+        starts_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            starts_sharding = NamedSharding(self.mesh, P(None, "data"))
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_epoch_shuffled(params, opt_state, g, series, all_starts,
                                  n_valid_vec, idx_vec, key):
@@ -214,12 +220,18 @@ class Trainer:
             (zero host traffic per epoch; the reference has no shuffling at
             all, `main.py:127`, so this is a TPU-native extension). The tail
             batch is padded with already-used windows and masked by
-            ``n_valid`` exactly like the host plan."""
+            ``n_valid`` exactly like the host plan. Under a mesh the batch
+            axis of each step's starts shards over ``data`` — the same
+            permutation sequence as the single-device run, so trajectories
+            match."""
             steps = n_valid_vec.shape[0]
             b = cfg.batch_size
             perm = jax.random.permutation(key, all_starts)
             pad = steps * b - all_starts.shape[0]
             starts_mat = jnp.concatenate([perm, perm[:pad]]).reshape(steps, b)
+            if starts_sharding is not None:
+                starts_mat = jax.lax.with_sharding_constraint(
+                    starts_mat, starts_sharding)
 
             def step(carry, inp):
                 params, opt_state = carry
@@ -324,7 +336,7 @@ class Trainer:
     def train_epoch(self) -> float:
         cfg = self.cfg
         step0 = self.epoch * self.steps_per_epoch
-        if cfg.shuffle and self.mesh is None:
+        if cfg.shuffle:
             # permutation drawn on device — nothing uploaded per epoch
             all_starts, n_valid_vec = self._all_starts_plan(self.train_ds)
             idx_vec = jnp.arange(step0, step0 + n_valid_vec.shape[0])

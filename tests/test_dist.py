@@ -155,6 +155,195 @@ def test_scaling_harness_runs_on_virtual_mesh():
         assert rec["edges_per_s"] > 0 and rec["efficiency"] > 0
 
 
+@pytest.mark.parametrize("graph_ax", [2, 4, 8])
+def test_banded_sharded_matches_dense(art, graph_ax):
+    """Boundary-halo sharded SpMM == dense, forward and d/dx, plus the
+    cheb pair — on every shard count."""
+    from stgcn_tpu.dist import banded_sharded_graph_op
+
+    mesh = make_mesh(data=1, graph=graph_ax)
+    op, part = banded_sharded_graph_op(art, mesh, use_pallas=False)
+    dop = dense_graph_op(art)
+    rng = np.random.default_rng(5)
+    n = 300
+    x = rng.standard_normal((2, n, 8)).astype(np.float32)
+    xp = jnp.asarray(x[:, part.perm, :])
+
+    y = np.asarray(op(xp))
+    yd = np.asarray(dop(jnp.asarray(x)))[:, part.perm, :]
+    np.testing.assert_allclose(y, yd, atol=2e-5)
+
+    g = jax.grad(lambda xx: (op(xx, scale=2.0) ** 2).sum())(xp)
+    gd = jax.grad(lambda xx: (dop(xx, scale=2.0) ** 2).sum())(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gd)[:, part.perm, :],
+                               atol=1e-3, rtol=1e-4)
+
+    t1, t2 = op.cheb_pair(xp)
+    t1d = dop(jnp.asarray(x))
+    t2d = 2.0 * dop(t1d) - jnp.asarray(x)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t1d)[:, part.perm, :],
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t2d)[:, part.perm, :],
+                               atol=1e-4)
+
+
+def test_banded_sharded_comm_is_boundary_only(art):
+    """The halo is a small boundary strip: per-shard comm must be far below
+    the ring's (P-1)·s·N volume, and the slab grad (learned-GSO path) must
+    match the dense operator gradient."""
+    from stgcn_tpu.dist import banded_sharded_graph_op, halo_banded_spmm
+
+    mesh = make_mesh(data=1, graph=4)
+    op, part = banded_sharded_graph_op(art, mesh, use_pallas=False)
+    s = op.slabs.shape[1] * op.slabs.shape[2]
+    assert op.halo < s, (op.halo, s)  # single-hop boundary, not all-blocks
+
+    # slab gradient through the halo SpMM vs dense autodiff
+    dop = dense_graph_op(art)
+    rng = np.random.default_rng(6)
+    vpad = op.n_vertex_pad
+    x = np.zeros((vpad, 4), np.float32)
+    x[:300] = rng.standard_normal((300, 4))
+    xj = jnp.asarray(x)
+    pm_d = np.zeros((vpad, vpad), np.float32)
+    import scipy.sparse as sp
+    pm = sp.csr_matrix(art.matrix)[part.perm][:, part.perm]
+    pm_d[:300, :300] = pm.toarray()
+
+    def f_sparse(sl):
+        return (halo_banded_spmm(op._cfg, sl, op.lo, op.slabs_t, op.lo_t,
+                                 xj) ** 2).sum()
+
+    def f_dense(a):
+        return ((a @ x) ** 2).sum()
+
+    ds = np.asarray(jax.grad(f_sparse)(op.slabs))
+    da = np.asarray(jax.grad(f_dense)(jnp.asarray(pm_d)))
+    p_n, nbr_s, bs, w = ds.shape
+    s_rows = nbr_s * bs
+    scale = np.abs(da).max()
+    # edge shards' windows extend into the (all-zero) halo beyond the
+    # matrix; pad the dense grad so those positions compare against 0
+    h = op.halo
+    da_pad = np.pad(da, ((0, 0), (h, h)))
+    for p in range(p_n):
+        for i in range(nbr_s):
+            r0 = p * s_rows + i * bs
+            c0 = int(op.lo[p, i]) + p * s_rows  # + h (pad) - h (ext offset)
+            np.testing.assert_allclose(
+                ds[p, i], da_pad[r0:r0 + bs, c0:c0 + w],
+                atol=1e-4 * scale, err_msg=f"slab grad block ({p},{i})")
+
+
+def test_banded_sharded_int8_close_to_dense(art):
+    from stgcn_tpu.dist import banded_sharded_graph_op
+
+    mesh = make_mesh(data=1, graph=4)
+    op, part = banded_sharded_graph_op(art, mesh, use_pallas=False,
+                                       quantize=True)
+    assert op.scales is not None
+    dop = dense_graph_op(art)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 300, 8)).astype(np.float32)
+    xp = jnp.asarray(x[:, part.perm, :])
+    y = np.asarray(op(xp))
+    yd = np.asarray(dop(jnp.asarray(x)))[:, part.perm, :]
+    rel = np.abs(y - yd).max() / (np.abs(yd).max() + 1e-9)
+    assert rel < 0.02, rel
+    # d/dx defined (weights frozen), close to dense
+    g = jax.grad(lambda xx: jnp.sum(jnp.cos(op(xx))))(xp)
+    gd = jax.grad(lambda xx: jnp.sum(jnp.cos(dop(xx))))(jnp.asarray(x))
+    gd = np.asarray(gd)[:, part.perm, :]
+    rel = np.abs(np.asarray(g) - gd).max() / (np.abs(gd).max() + 1e-9)
+    assert rel < 0.03, rel
+
+
+def test_banded_sharded_training_matches_single_device(tmp_path):
+    """Full training epoch through the halo-exchange operator == the
+    single-device dense run (permutation-invariant losses)."""
+    from stgcn_tpu.cli.main import build_trainer
+    from stgcn_tpu.train.loop import TrainConfig
+
+    v, t = 48, 220
+    ds_dir = tmp_path / "toy"
+    ds_dir.mkdir()
+    adj = random_road_graph(v, k_neighbors=4, seed=11)
+    sp.save_npz(ds_dir / "adj.npz", adj.tocoo())
+    vel = generate_synthetic_vel(adj, t, seed=12)
+    header = ",".join(str(i) for i in range(v))
+    np.savetxt(ds_dir / "vel.csv", vel, delimiter=",", header=header,
+               comments="", fmt="%.6f")
+
+    def run(mesh, kind, tag):
+        cfg = TrainConfig(n_his=12, n_pred=3, batch_size=8, epochs=1,
+                          droprate=0.0, seed=13,
+                          ckpt_dir=str(tmp_path / f"ckpt_{tag}"),
+                          dataset_name="toy")
+        tr = build_trainer(cfg, dataset="toy", data_root=str(tmp_path),
+                           mesh=mesh, graph_op_kind=kind)
+        return tr.train_epoch(), tr.validate()
+
+    loss_s, val_s = run(None, "dense", "single")
+    mesh = make_mesh(data=2, graph=4)
+    loss_m, val_m = run(mesh, "banded", "halo")
+    np.testing.assert_allclose(loss_m, loss_s, rtol=1e-4)
+    np.testing.assert_allclose(val_m, val_s, rtol=1e-4)
+
+
+@pytest.mark.parametrize("feature", ["bf16", "remat", "shuffle"])
+def test_sharded_training_feature_matrix(tmp_path, feature):
+    """The (mesh × dtype × remat × shuffle) grid: each feature must work
+    with the banded sharded operator and match its own single-device run."""
+    from stgcn_tpu.cli.main import build_trainer
+    from stgcn_tpu.train.loop import TrainConfig
+
+    v, t = 48, 200
+    ds_dir = tmp_path / "toy"
+    ds_dir.mkdir()
+    adj = random_road_graph(v, k_neighbors=4, seed=17)
+    sp.save_npz(ds_dir / "adj.npz", adj.tocoo())
+    vel = generate_synthetic_vel(adj, t, seed=18)
+    header = ",".join(str(i) for i in range(v))
+    np.savetxt(ds_dir / "vel.csv", vel, delimiter=",", header=header,
+               comments="", fmt="%.6f")
+
+    kw = dict(n_his=12, n_pred=3, batch_size=8, epochs=1, droprate=0.0,
+              seed=19, dataset_name="toy")
+    if feature == "bf16":
+        kw["compute_dtype"] = "bfloat16"
+    elif feature == "remat":
+        kw["remat"] = True
+    elif feature == "shuffle":
+        kw["shuffle"] = True
+
+    def run(mesh, tag):
+        cfg = TrainConfig(ckpt_dir=str(tmp_path / f"ck_{tag}"), **kw)
+        tr = build_trainer(cfg, dataset="toy", data_root=str(tmp_path),
+                           mesh=mesh, graph_op_kind="banded")
+        return tr.train_epoch(), tr.validate()
+
+    loss_s, val_s = run(None, f"s_{feature}")
+    loss_m, val_m = run(make_mesh(data=2, graph=4), f"m_{feature}")
+    assert np.isfinite([loss_s, loss_m, val_s, val_m]).all()
+    rtol = 2e-2 if feature == "bf16" else 1e-4
+    np.testing.assert_allclose(loss_m, loss_s, rtol=rtol)
+    np.testing.assert_allclose(val_m, val_s, rtol=rtol)
+
+
+def test_scaling_harness_banded_on_virtual_mesh():
+    """The banded halo-exchange scaling harness runs at a CI-sized stand-in
+    for the 100k config and reports boundary-only comm."""
+    from stgcn_tpu.bench.scaling import measure_spmm_scaling
+
+    out = measure_spmm_scaling(n_vertex=4096, n_feat=32, parts=(1, 2, 4),
+                               reps=2, op="banded")
+    assert set(out["parts"]) == {"1", "2", "4"}
+    for p_str, rec in out["parts"].items():
+        assert rec["edges_per_s"] > 0 and rec["efficiency"] > 0
+        if p_str != "1":
+            assert rec["halo_rows"] > 0
+
+
 def test_channel_tensor_parallel_matches_replicated(tmp_path):
     """A (1 data × 1 graph × 2 model) mesh sharding output channels of the
     wide kernels trains to the same loss as the replicated run (GSPMD
