@@ -102,7 +102,7 @@ def bench_spmm(n_vertex=100_000, k_neighbors=8, n_feat=128, measure=300):
     art = build_gso(adj, "sym_norm_lap", cheb=True)
     m = permute_matrix(art.matrix, rcm_ordering(art.matrix))
     nnz = m.nnz
-    data, cols, counts = pack_bcsr(m, block_size=128)
+    data, cols, counts = pack_bcsr(m, block_size=256)
     log(f"[spmm] V={n_vertex} nnz={nnz} packed {data.shape} "
         f"({time.time() - t0:.1f}s host prep)")
 
@@ -110,9 +110,9 @@ def bench_spmm(n_vertex=100_000, k_neighbors=8, n_feat=128, measure=300):
     cols_j = jnp.asarray(cols)
     counts_j = jnp.asarray(counts)
     x = jnp.asarray(np.random.default_rng(1)
-                    .standard_normal((data.shape[0] * 128, n_feat)).astype(np.float32)
+                    .standard_normal((data.shape[0] * 256, n_feat)).astype(np.float32)
                     ).astype(jnp.bfloat16)
-    spmm_j = jax.jit(functools.partial(bcsr_spmm, block_size=128))
+    spmm_j = jax.jit(functools.partial(bcsr_spmm, block_size=256))
 
     y = spmm_j(data_j, cols_j, x, counts=counts_j)
     device_sync(y)
@@ -152,7 +152,7 @@ def bench_spmm(n_vertex=100_000, k_neighbors=8, n_feat=128, measure=300):
     dt_pair = (time.time() - t0) / measure
 
     live_tiles = int(counts.sum())
-    block_flops = 2 * live_tiles * 128 * 128 * n_feat
+    block_flops = 2 * live_tiles * 256 * 256 * n_feat
     useful_flops = 2 * nnz * n_feat
     device_kind = jax.devices()[0].device_kind
     peak = PEAK_FLOPS.get(device_kind, PEAK_FLOPS.get(jax.default_backend(), 197e12))
@@ -160,7 +160,7 @@ def bench_spmm(n_vertex=100_000, k_neighbors=8, n_feat=128, measure=300):
     # resident-x kernel: slabs stream once, x is read into VMEM once, y
     # written once (the old streaming kernel refetched the window per block)
     banded_bytes = (slabs_j.size + x_band.size + yb.size) * 2
-    ell_bytes = (int(counts.sum()) * (128 * 128 + 128 * n_feat)) * 2
+    ell_bytes = (int(counts.sum()) * (256 * 256 + 256 * n_feat)) * 2
     best_dt = min(dt, dt_banded)
     res = {
         "spmm_time_s": best_dt,
@@ -185,6 +185,38 @@ def bench_spmm(n_vertex=100_000, k_neighbors=8, n_feat=128, measure=300):
         f"banded HBM {res['banded_hbm_gbs']:.0f} GB/s "
         f"({100 * res['banded_hbm_roofline_frac']:.0f}% of BW roofline)")
     return res
+
+
+def bench_scaling(n_vertex=100_000, parts=(1, 2, 4, 8), reps=2,
+                  timeout_s=1800):
+    """Edges/s scaling of the boundary-halo sharded SpMM on a virtual
+    8-device CPU mesh (BASELINE configs[3]: multi-chip at 100k vertices).
+
+    Runs in a subprocess because the parent process is pinned to the TPU
+    backend. On this 1-chip environment the virtual devices share the
+    host's two cores, so the *efficiency* numbers only validate the
+    measurement path — the structural facts (halo rows, comm bytes/shard,
+    interior fraction) are what carry to real multi-chip hardware.
+    """
+    import subprocess
+
+    cmd = [sys.executable, "-m", "stgcn_tpu.bench.scaling",
+           "--vertices", str(n_vertex), "--parts",
+           *[str(p) for p in parts], "--reps", str(reps),
+           "--platform", "cpu", "--devices", str(max(parts))]
+    log(f"[scaling] {' '.join(cmd)}")
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT,
+                           timeout=timeout_s)
+        if r.returncode != 0:
+            log(f"[scaling] failed: {r.stderr[-500:]}")
+            return None
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        log(f"[scaling] ok: {out['parts'].keys()}")
+        return out
+    except Exception as e:  # pragma: no cover
+        log(f"[scaling] error: {e}")
+        return None
 
 
 def bench_torch_reference(dataset="pems-bay", batch_size=32, measure_steps=6):
@@ -237,6 +269,7 @@ def main():
     ap.add_argument("--dataset", default="pems-bay")
     ap.add_argument("--skip-spmm", action="store_true")
     ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--skip-scaling", action="store_true")
     ap.add_argument("--spmm-vertices", type=int, default=100_000)
     args = ap.parse_args()
 
@@ -246,6 +279,7 @@ def main():
                                          measure_epochs=2,
                                          compute_dtype="bfloat16")
     spmm = None if args.skip_spmm else bench_spmm(n_vertex=args.spmm_vertices)
+    scaling = None if args.skip_scaling else bench_scaling()
 
     baseline = None
     if os.path.exists(BASELINE_FILE):
@@ -274,6 +308,8 @@ def main():
     if spmm:
         out["spmm"] = {k: (round(v, 6) if isinstance(v, float) else v)
                        for k, v in spmm.items()}
+    if scaling:
+        out["scaling"] = scaling
     print(json.dumps(out), flush=True)
 
 

@@ -34,11 +34,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _window_meta(csr: sp.csr_matrix, block_size: int, col_align: int
+def _window_meta(csr: sp.csr_matrix, block_size: int, col_align: int,
+                 contain_diag: bool = False
                  ) -> tuple[np.ndarray, np.ndarray, int, int]:
     """Per-block-row column-window metadata: aligned window starts, raw
     entry-extent ends, the common (max, aligned) window width, and the
-    natural ``v_pad``."""
+    natural ``v_pad``.
+
+    ``contain_diag=True`` widens each window to cover the block's own
+    diagonal rows ``[i*bs, (i+1)*bs)`` — the precondition of the streaming
+    cheb-pair kernel, whose T1 ring is addressed at block granularity
+    (pass ``col_align=block_size`` with it so windows start on block
+    boundaries)."""
     v = csr.shape[0]
     bs = block_size
     nbr = -(-v // bs)
@@ -54,10 +61,20 @@ def _window_meta(csr: sp.csr_matrix, block_size: int, col_align: int
             # empty block row: park the window at the block's own diagonal
             # (a window at column 0 would inflate the sharded pack's halo)
             lo[i], hi[i] = i * bs, i * bs + 1
+    if contain_diag:
+        blocks = np.arange(nbr, dtype=np.int64)
+        lo = np.minimum(lo, blocks * bs)
+        hi = np.maximum(hi, (blocks + 1) * bs)
     lo_al = (lo // col_align) * col_align
     width = int((hi - lo_al).max())
     w = _round_up(max(width, col_align), col_align)
-    return lo_al, hi, w, _round_up(max(v, w), col_align)
+    if contain_diag:
+        # windows must not be clamped (that would break block alignment /
+        # diagonal coverage): pad x far enough to cover every window
+        natural = _round_up(max(v, int(lo_al.max()) + w), col_align)
+    else:
+        natural = _round_up(max(v, w), col_align)
+    return lo_al, hi, w, natural
 
 
 def pack_banded(matrix: sp.spmatrix, *, block_size: int = 128,
@@ -256,6 +273,8 @@ def _banded_pallas(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
                             + nbr * w * n * x.dtype.itemsize),
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
 
 
@@ -273,7 +292,11 @@ def banded_spmm(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
         s = slabs if scales is None else \
             slabs.astype(jnp.float32) * scales[:, :, None]
         return banded_spmm_reference(s, lo, x, block_size=block_size)
-    tile = min(tile_n, _round_up(n, 128))
+    # pick the N tile that minimizes padding waste (e.g. n=1280 with a
+    # fixed 512 tile pads to 1536 — 20% wasted window traffic; a 640 tile
+    # pads nothing), preferring bigger tiles on ties (fewer grid steps)
+    cands = [c for c in (640, 512, 384, 256, 128) if c <= max(tile_n, 128)]
+    tile = min(cands, key=lambda c: (_round_up(n, c), -c))
     n_pad = _round_up(n, tile)
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n)))
@@ -497,6 +520,266 @@ def banded_cheb_pair(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
     return t1[:v_pad, :n], t2[:v_pad, :n]
 
 
+# ---------------------------------------------------------------------------
+# streaming Chebyshev pair: (T1, T2) in one slab pass WITHOUT x residency
+# ---------------------------------------------------------------------------
+
+
+def cheb_pair_stream_safe(lo, w: int, block_size: int) -> bool:
+    """Preconditions of :func:`banded_cheb_pair_stream` (checked host-side
+    at pack time): block-aligned windows that contain each block's own
+    diagonal rows — produced by ``pack_banded_device(contain_diag=True,
+    col_align=block_size)``."""
+    lo = np.asarray(lo, np.int64)
+    i = np.arange(len(lo), dtype=np.int64)
+    return bool(w % block_size == 0
+                and (lo % block_size == 0).all()
+                and (lo <= i * block_size).all()
+                and (lo + w >= (i + 1) * block_size).all())
+
+
+def _make_cheb_pair_stream_kernel(bs: int, w: int, n: int, nbr: int,
+                                  delay: int, rn: int, rs: int,
+                                  precision, quantized: bool):
+    """Wavefront schedule without x residency: stage 1 streams block i's x
+    window from HBM (double-buffered) and computes T1 block i; stage 2
+    computes T2 block i−delay from a VMEM ring of recent T1 blocks — the
+    slab block is replayed from a ring filled by stage 1, so the operator
+    (the dominant stream) crosses HBM exactly ONCE for both applications.
+    T2's aggregation runs as ``nw`` block-granular MXU dots against the T1
+    ring (windows are block-aligned by the pack), avoiding any gathered
+    window copy."""
+    nw = w // bs
+
+    def kernel(lo_ref, slab_ref, *rest):
+        if quantized:
+            (scale1_ref, scale2_ref, x_hbm, t1_ref, t2_ref,
+             x_buf, sem, t1_ring, slab_ring, xdiag_ring) = rest
+        else:
+            (x_hbm, t1_ref, t2_ref,
+             x_buf, sem, t1_ring, slab_ring, xdiag_ring) = rest
+        i = pl.program_id(0)
+
+        def get_dma(slot, ii):
+            start = pl.multiple_of(lo_ref[ii], 128)
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(start, w), :], x_buf.at[slot], sem.at[slot])
+
+        @pl.when(i == 0)
+        def _warm():
+            get_dma(0, 0).start()
+
+        @pl.when(i + 1 < nbr)
+        def _prefetch():
+            get_dma((i + 1) % 2, i + 1).start()
+
+        @pl.when(i < nbr)
+        def _stage1():
+            get_dma(i % 2, i).wait()
+            xwin = x_buf[i % 2]
+            t1f = jnp.dot(_slab_block(slab_ref, xwin.dtype), xwin,
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
+            if quantized:
+                t1f = t1f * scale1_ref[0, 0][:, None]
+            t1c = t1f.astype(xwin.dtype)
+            t1_ref[...] = t1c
+            t1_ring[pl.ds(pl.multiple_of((i % rn) * bs, bs), bs), :] = t1c
+            slab_ring[pl.ds(pl.multiple_of((i % rs) * bs, bs), bs), :] = \
+                slab_ref[0]
+            off = pl.multiple_of(i * bs - lo_ref[i], 128)
+            xdiag_ring[pl.ds(pl.multiple_of((i % rs) * bs, bs), bs), :] = \
+                x_buf[i % 2, pl.ds(off, bs), :]
+
+        i2 = i - delay
+
+        @pl.when(i2 >= 0)
+        def _stage2():
+            i2c = jnp.maximum(i2, 0)
+            lo2 = lo_ref[i2c]
+            b0 = lo2 // bs
+            s_off = pl.multiple_of((i2c % rs) * bs, bs)
+            slab2 = slab_ring[pl.ds(s_off, bs), :]
+            acc = jnp.zeros((bs, n), jnp.float32)
+            for k in range(nw):  # static unroll: nw block-granular dots
+                a_k = slab2[:, k * bs:(k + 1) * bs]
+                if a_k.dtype == jnp.int8:
+                    a_k = a_k.astype(x_buf.dtype)
+                t_off = pl.multiple_of(((b0 + k) % rn) * bs, bs)
+                t1_k = t1_ring[pl.ds(t_off, bs), :]
+                acc += jnp.dot(a_k, t1_k,
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+            y2 = 2.0 * acc
+            if quantized:
+                y2 = y2 * scale2_ref[0, 0][:, None]
+            xdiag = xdiag_ring[pl.ds(s_off, bs), :]
+            t2_ref[...] = (y2 - xdiag.astype(jnp.float32)).astype(t2_ref.dtype)
+
+    return kernel
+
+
+def banded_cheb_pair_stream(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
+                            scales: jax.Array | None = None,
+                            precision=None) -> tuple[jax.Array, jax.Array]:
+    """``(A x, 2 A (A x) − x)`` with A streamed from HBM once and NO x
+    residency requirement — the pair formulation for graphs past the
+    resident-x scale (1M+ vertices, int8 packs). Traffic per call ≈ one
+    slab stream + one x-window stream, vs 2× each for two applications:
+    asymptotically 2× faster when slab+window streams dominate.
+
+    Requires a ``contain_diag`` block-aligned pack
+    (:func:`cheb_pair_stream_safe`); the caller checks at pack time.
+    """
+    nbr, bs, w = slabs.shape
+    v_pad, n = x.shape
+    nw = w // bs
+    delay = nw + 1
+    rn = delay + nw   # T1 ring: oldest block needed is i2+1-nw, newest i2+nw-1
+    rs = delay + 1    # slab / x-diagonal rings
+    n_pad = _round_up(n, 128)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n)))
+    rows_pad = nbr * bs - v_pad
+    if rows_pad > 0:
+        x = jnp.pad(x, ((0, rows_pad), (0, 0)))
+
+    quantized = scales is not None
+    in_specs = [pl.BlockSpec((1, bs, w),
+                             lambda i, lo_ref: (jnp.minimum(i, nbr - 1), 0, 0))]
+    args = [lo, slabs]
+    if quantized:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, bs), lambda i, lo_ref: (jnp.minimum(i, nbr - 1), 0, 0)))
+        args.append(scales.reshape(nbr, 1, bs))
+        in_specs.append(pl.BlockSpec(
+            (1, 1, bs),
+            lambda i, lo_ref: (jnp.maximum(i - (nw + 1), 0), 0, 0)))
+        args.append(scales.reshape(nbr, 1, bs))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # x stays in HBM
+    args.append(x)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr + delay,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((bs, n_pad),
+                         lambda i, lo_ref: (jnp.minimum(i, nbr - 1), 0)),
+            pl.BlockSpec((bs, n_pad),
+                         lambda i, lo_ref: (jnp.maximum(i - (nw + 1), 0), 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, w, n_pad), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((rn * bs, n_pad), x.dtype),     # T1 ring
+            pltpu.VMEM((rs * bs, w), slabs.dtype),     # slab ring
+            pltpu.VMEM((rs * bs, n_pad), x.dtype),     # x diagonal ring
+        ],
+    )
+    slab_bytes = slabs.size * slabs.dtype.itemsize
+    win_bytes = nbr * w * n_pad * x.dtype.itemsize
+    t1, t2 = pl.pallas_call(
+        _make_cheb_pair_stream_kernel(bs, w, n_pad, nbr, delay, rn, rs,
+                                      precision, quantized),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nbr * bs, n_pad), x.dtype),
+                   jax.ShapeDtypeStruct((nbr * bs, n_pad), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * nbr * bs * w * n_pad,
+            bytes_accessed=slab_bytes + win_bytes
+            + 2 * nbr * bs * n_pad * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(*args)
+    if nbr * bs < v_pad:
+        # contain_diag padding can exceed the row-block count; the missing
+        # rows are all-zero A rows over all-zero x rows → t1 = t2 = 0
+        pad = ((0, v_pad - nbr * bs), (0, 0))
+        return jnp.pad(t1[:, :n], pad), jnp.pad(t2[:, :n], pad)
+    return t1[:v_pad, :n], t2[:v_pad, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def banded_cheb_pair_stream_vjp(slabs, lo, slabs_t, lo_t, x,
+                                scales=None, scales_t=None, use_pallas=True):
+    """Differentiable streaming Chebyshev pair (int8- and bf16-capable).
+
+    Backward mirrors :func:`banded_cheb_pair_vjp`: ``dT1 = g1 + 2 Aᵀ g2``,
+    ``dx = Aᵀ dT1 − g2`` via the transpose pack; quantized packs freeze
+    the edge weights (no gradient through quantization).
+    """
+    return _cheb_pair_stream_primal(slabs, lo, x, scales, use_pallas)
+
+
+def _cheb_pair_stream_primal(slabs, lo, x, scales, use_pallas):
+    nbr, bs, w = slabs.shape
+    v_pad = x.shape[0]
+    if use_pallas and jax.default_backend() == "tpu":
+        return banded_cheb_pair_stream(slabs, lo, x, scales=scales)
+    single = use_pallas and jax.default_backend() == "tpu"
+
+    def fit(y):  # contain_diag packs can have v_pad > nbr*bs
+        return jnp.pad(y, ((0, v_pad - y.shape[0]), (0, 0))) \
+            if y.shape[0] < v_pad else y[:v_pad]
+
+    t1p = fit(banded_spmm(slabs, lo, x, block_size=bs, use_pallas=single,
+                          scales=scales))
+    t2 = 2.0 * fit(banded_spmm(slabs, lo, t1p, block_size=bs,
+                               use_pallas=single, scales=scales)) - x
+    return t1p, t2
+
+
+def _cheb_pair_stream_fwd(slabs, lo, slabs_t, lo_t, x, scales, scales_t,
+                          use_pallas):
+    t1, t2 = _cheb_pair_stream_primal(slabs, lo, x, scales, use_pallas)
+    return (t1, t2), (slabs, lo, slabs_t, lo_t, x, t1, scales, scales_t)
+
+
+def _cheb_pair_stream_bwd(use_pallas, res, gs):
+    slabs, lo, slabs_t, lo_t, x, t1, scales, scales_t = res
+    g1, g2 = gs
+    v_pad = x.shape[0]
+
+    def apply_t(g):
+        y = banded_spmm(slabs_t, lo_t, g, use_pallas=use_pallas,
+                        scales=scales_t)
+        if y.shape[0] > v_pad:
+            y = y[:v_pad]
+        elif y.shape[0] < v_pad:
+            y = jnp.pad(y, ((0, v_pad - y.shape[0]), (0, 0)))
+        return y
+
+    dt1 = g1 + 2.0 * apply_t(g2)
+    dx = apply_t(dt1) - g2
+    if scales is not None:
+        return (jnp.zeros_like(slabs), None, None, None, dx, None, None)
+
+    nbr, bs, w = slabs.shape
+    idx = lo[:, None] + jnp.arange(w)[None, :]
+    xw = x[idx]
+    t1w = t1[idx]
+    n_rows = nbr * bs
+
+    def blocked(g):
+        if g.shape[0] < n_rows:
+            g = jnp.pad(g, ((0, n_rows - g.shape[0]), (0, 0)))
+        return g[:n_rows].reshape(nbr, bs, -1)
+
+    dslabs = (jnp.einsum("ibn,iwn->ibw", blocked(dt1), xw,
+                         preferred_element_type=jnp.float32)
+              + 2.0 * jnp.einsum("ibn,iwn->ibw", blocked(g2), t1w,
+                                 preferred_element_type=jnp.float32)
+              ).astype(slabs.dtype)
+    return dslabs, None, None, None, dx, None, None
+
+
+banded_cheb_pair_stream_vjp.defvjp(_cheb_pair_stream_fwd,
+                                   _cheb_pair_stream_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def banded_cheb_pair_vjp(slabs, lo, slabs_t, lo_t, x, use_pallas=True):
     """Differentiable fused Chebyshev pair.
@@ -558,22 +841,29 @@ banded_cheb_pair_vjp.defvjp(_cheb_pair_fwd, _cheb_pair_bwd)
 
 def pack_banded_device(matrix: sp.spmatrix, *, block_size: int = 256,
                        col_align: int = 128, dtype=jnp.bfloat16,
-                       v_pad: int | None = None):
+                       v_pad: int | None = None, contain_diag: bool = False):
     """Device-side slab construction: only the COO triplets travel to the
     chip (~12 B/edge); the ~GB-scale zero-filled slabs are scattered on
     device. At 1M vertices this turns a ~90 s pack upload through the
     tunnel into ~2 s. Returns ``(slabs jnp, lo np, v_pad)``.
+
+    ``contain_diag=True`` (with ``col_align=block_size``) produces a
+    streaming-cheb-pair-compatible pack: block-aligned windows that cover
+    each block's own diagonal (see :func:`banded_cheb_pair_stream`).
     """
     csr = sp.csr_matrix(matrix)
     v = csr.shape[0]
     bs = block_size
     nbr = -(-v // bs)
-    lo_al, _, w, natural = _window_meta(csr, bs, col_align)
+    lo_al, _, w, natural = _window_meta(csr, bs, col_align,
+                                        contain_diag=contain_diag)
     if v_pad is None:
         v_pad = natural
-    elif v_pad < max(v, w):
-        raise ValueError(f"v_pad={v_pad} too small (need >= {max(v, w)})")
-    lo_al = np.minimum(lo_al, v_pad - w).astype(np.int64)
+    elif v_pad < natural:
+        raise ValueError(f"v_pad={v_pad} too small (need >= {natural})")
+    if not contain_diag:  # diag windows are never clamped (alignment)
+        lo_al = np.minimum(lo_al, v_pad - w)
+    lo_al = lo_al.astype(np.int64)
 
     coo = csr.tocoo()
     br = (coo.row // bs).astype(np.int64)

@@ -7,13 +7,18 @@ batch entirely in VMEM, with a single HBM read of the block input and a
 single HBM write of the block output, versus ~10 activation round-trips
 per block on the unfused path.
 
-Status (measured, see ROADMAP.md): numerically parity-exact and fully
-integrated (``--fused``), but NOT yet faster than the unfused XLA bf16
-path at PEMS-BAY scale — XLA already runs at ~50% of the HBM roofline
-there, and this kernel's f32 VPU work (bf16 transcendentals currently
-miscompile in Mosaic) outweighs the saved traffic. It is kept as the
-basis for configs where activation traffic dominates and for when the
-Mosaic bf16 path unblocks.
+Status: **correctness-demonstration path, not a perf path.** Measured
+(see ROADMAP.md): numerically parity-exact and fully integrated
+(``--fused``), but slower than the unfused XLA bf16 path at PEMS-BAY
+scale (fwd 21.6 ms vs 7.6 ms, B=512) — XLA already runs at ~50% of the
+HBM roofline there, and this kernel's f32 VPU work outweighs the saved
+traffic. The one lever that would flip it — bf16 transcendentals in
+Mosaic — still miscompiles as of jax 0.9 (re-verified 2026-08:
+``vector.broadcast`` f32→bf16 verification error), and whole-network
+fusion would not help because the wall is VPU elementwise + small-K
+matmuls, not inter-block HBM traffic. No performance claims are made
+for this kernel; the production fast path is the unfused bf16 model
+with the banded/ELL sparse graph kernels.
 
 Layout design (v2, every choice measured on v5e):
 

@@ -96,6 +96,70 @@ def _make_spmm_kernel(bs: int, tile_n: int, max_b: int, precision, n_buf: int):
     return kernel
 
 
+def _make_spmm_resident_kernel(bs: int, tile_n: int, precision):
+    def kernel(cols_ref, counts_ref, data_ref, x_ref, o_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        count = counts_ref[i]
+
+        def body(k, acc):
+            col = cols_ref[i, k]
+            xb = x_ref[pl.ds(pl.multiple_of(col * bs, bs), bs),
+                       pl.ds(j * tile_n, tile_n)]
+            return acc + jnp.dot(data_ref[0, k], xb,
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
+
+        acc = lax.fori_loop(0, count, body,
+                            jnp.zeros((bs, tile_n), jnp.float32),
+                            unroll=False)
+        o_ref[:] = acc.astype(o_ref.dtype)
+
+    return kernel
+
+
+def _spmm_pallas_resident(data: jax.Array, cols: jax.Array, counts: jax.Array,
+                          x: jax.Array, *, block_size: int, tile_n: int,
+                          precision=None) -> jax.Array:
+    """Whole-x-in-VMEM ELL variant: x tiles become on-chip slices, so the
+    only HBM stream is the A tiles — the same resident-x trick that took
+    the banded kernel from 35% to 71% of the bandwidth roofline. Used when
+    x fits the VMEM budget; the streaming variant covers the rest."""
+    nbr, max_b = cols.shape
+    bs = block_size
+    n = x.shape[1]
+    grid = (nbr, n // tile_n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, max_b, bs, bs),
+                         lambda i, j, cols_ref, counts_ref: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
+        ],
+        out_specs=pl.BlockSpec((bs, tile_n),
+                               lambda i, j, cols_ref, counts_ref: (i, j)),
+    )
+    total_tiles = int(nbr * max_b)
+    return pl.pallas_call(
+        _make_spmm_resident_kernel(bs, tile_n, precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbr * bs, n), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * total_tiles * bs * bs * n,
+            bytes_accessed=(data.size * data.dtype.itemsize
+                            + x.size * x.dtype.itemsize),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(cols, counts, data, x)
+
+
+# x + per-row A tiles + output tile must fit on-chip
+_ELL_RESIDENT_X_BYTES = 80 * 1024 * 1024
+
+
 def _spmm_pallas(data: jax.Array, cols: jax.Array, counts: jax.Array,
                  x: jax.Array, *, block_size: int, tile_n: int,
                  precision=None, n_buf: int = 4) -> jax.Array:
@@ -159,12 +223,20 @@ def bcsr_spmm(data: jax.Array, cols: jax.Array, x: jax.Array, *,
     # in SMEM) stay under the 1 MB SMEM budget
     chunk = 1024
     nbr = cols.shape[0]
+    x_bytes = x.shape[0] * n_pad * x.dtype.itemsize
+    row_bytes = 2 * cols.shape[1] * block_size * block_size * data.dtype.itemsize
+    resident = x_bytes + row_bytes < _ELL_RESIDENT_X_BYTES
     ys = []
     for s in range(0, nbr, chunk):
         e = min(s + chunk, nbr)
-        ys.append(_spmm_pallas(data[s:e], cols[s:e], counts[s:e], x,
-                               block_size=block_size, tile_n=tile,
-                               precision=precision, n_buf=n_buf))
+        if resident:
+            ys.append(_spmm_pallas_resident(data[s:e], cols[s:e], counts[s:e],
+                                            x, block_size=block_size,
+                                            tile_n=tile, precision=precision))
+        else:
+            ys.append(_spmm_pallas(data[s:e], cols[s:e], counts[s:e], x,
+                                   block_size=block_size, tile_n=tile,
+                                   precision=precision, n_buf=n_buf))
     y = ys[0] if len(ys) == 1 else jnp.concatenate(ys, axis=0)
     return y[:, :n]
 

@@ -117,6 +117,9 @@ class BandedGraphOp(struct.PyTreeNode):
     # pack-time wavefront-safety verdict for the fused cheb-pair kernel
     # (`lo` is a tracer inside jit, so the check can't happen there)
     pair_safe: bool = struct.field(pytree_node=False, default=True)
+    # pack-time verdict for the STREAMING pair kernel (block-aligned,
+    # diagonal-containing windows — the int8 / beyond-resident-scale path)
+    pair_stream: bool = struct.field(pytree_node=False, default=False)
     scales: jax.Array | None = None    # [nbr, bs] per-row dequant (int8)
     scales_t: jax.Array | None = None
 
@@ -155,13 +158,30 @@ class BandedGraphOp(struct.PyTreeNode):
         pad = self.v_pad - v
         if pad:
             x_vn = jnp.pad(x_vn, ((0, pad), (0, 0)))
-        if self.scales is not None or not self.pair_safe:
-            # int8 pack (no quantized pair variant yet) or a pack whose band
-            # violates the wavefront schedule: two single applications
+        # past the resident-x scale the streaming pair wins (measured 1.68x
+        # over two applications at 1M-vertex int8); at resident scale two
+        # resident single applications are faster (stream refetches the x
+        # window w/bs times) — mirror banded_spmm's residency rule
+        nbr, bs, w = self.slabs.shape
+        x_bytes = self.v_pad * x_vn.shape[1] * x_vn.dtype.itemsize
+        resident = x_bytes + 2 * bs * w * self.slabs.dtype.itemsize \
+            < bk._RESIDENT_X_BYTES
+        if self.pair_stream and not resident:
+            # streaming pair: one slab pass, no x residency — the int8 /
+            # beyond-resident-scale path (pack has block-aligned
+            # diagonal-containing windows)
+            t1, t2 = bk.banded_cheb_pair_stream_vjp(
+                self.slabs, self.lo, self.slabs_t, self.lo_t, x_vn,
+                self.scales, self.scales_t, self.use_pallas)
+        elif self.scales is not None or not self.pair_safe:
+            # quantized pack without a stream-compatible layout, or a band
+            # violating the wavefront schedule: two single applications
             t1 = self(x)
             return t1, self(t1, scale=2.0) - x
-        t1, t2 = bk.banded_cheb_pair_vjp(self.slabs, self.lo, self.slabs_t,
-                                         self.lo_t, x_vn, self.use_pallas)
+        else:
+            t1, t2 = bk.banded_cheb_pair_vjp(self.slabs, self.lo,
+                                             self.slabs_t, self.lo_t, x_vn,
+                                             self.use_pallas)
         return (_unfold_from_vn(t1[:v], lead_c),
                 _unfold_from_vn(t2[:v], lead_c))
 
@@ -174,8 +194,11 @@ def dense_graph_op(gso: GraphShiftOperator | np.ndarray, dtype=jnp.float32) -> D
     return DenseGraphOp(matrix=jnp.asarray(mat, dtype=dtype))
 
 
-def bcsr_graph_op(gso: GraphShiftOperator, *, block_size: int = 128,
+def bcsr_graph_op(gso: GraphShiftOperator, *, block_size: int = 256,
                   dtype=jnp.float32, use_pallas: bool = True) -> BcsrGraphOp:
+    # 256x256 tiles measured 1.35x faster than 128x128 on v5e (one dot's
+    # M=256 spans two MXU pipes; fewer, bigger tile DMAs): 0.82 vs 1.10 ms
+    # on the 100k RCM road graph at n=128 (67% vs 46% of HBM roofline)
     from stgcn_tpu.graph.packing import pack_bcsr
 
     import scipy.sparse as sp
@@ -194,48 +217,60 @@ def bcsr_graph_op(gso: GraphShiftOperator, *, block_size: int = 128,
 
 
 def banded_graph_op(gso: GraphShiftOperator, *, dtype=jnp.float32,
-                    use_pallas: bool = True,
-                    quantize: bool = False) -> BandedGraphOp:
-    # 256-row slabs measured fastest on v5e (fewer, bigger grid steps;
-    # window widens only ~8% over 128-row blocks)
+                    use_pallas: bool = True, quantize: bool = False,
+                    block_size: int | None = None) -> BandedGraphOp:
+    # measured on v5e (100k RCM road graph): 256-row slabs fastest at
+    # eval widths (n=128, resident-x); 512-row slabs ~1.13x faster at
+    # training widths (n~1280, streaming: wider slabs cut the window
+    # refetch factor w/bs). Callers that know their width can pass
+    # block_size; the default optimizes the resident/eval case.
     from stgcn_tpu.kernels.banded_spmm import cheb_pair_wavefront_safe
 
+    bs = block_size or 256
     if quantize:
         # int8 slabs with per-row output scales, scattered on device from
-        # COO (the only representation that fits HBM at 1M+ vertices)
+        # COO (the only representation that fits HBM at 1M+ vertices).
+        # Packed with block-aligned diagonal-containing windows so the
+        # STREAMING cheb-pair kernel can run both recurrence applications
+        # in one slab pass (see banded_cheb_pair_stream).
         import scipy.sparse as sp
 
         from stgcn_tpu.kernels.banded_spmm import (_window_meta,
+                                                   cheb_pair_stream_safe,
                                                    pack_banded_device)
 
         csr = sp.csr_matrix(gso.matrix)
         csr_t = csr.T.tocsr()
         # asymmetric matrices can have different natural paddings; pack
         # both with the shared max so x/g buffers match
-        _, _, _, vp_f = _window_meta(csr, 256, 128)
-        _, _, _, vp_t = _window_meta(csr_t, 256, 128)
+        _, _, _, vp_f = _window_meta(csr, bs, bs, contain_diag=True)
+        _, _, _, vp_t = _window_meta(csr_t, bs, bs, contain_diag=True)
         v_pad = max(vp_f, vp_t)
-        slabs, lo, _, scales = pack_banded_device(csr, block_size=256,
-                                                  dtype=jnp.int8, v_pad=v_pad)
+        slabs, lo, _, scales = pack_banded_device(
+            csr, block_size=bs, col_align=bs, contain_diag=True,
+            dtype=jnp.int8, v_pad=v_pad)
         slabs_t, lo_t, _, scales_t = pack_banded_device(
-            csr_t, block_size=256, dtype=jnp.int8, v_pad=v_pad)
+            csr_t, block_size=bs, col_align=bs, contain_diag=True,
+            dtype=jnp.int8, v_pad=v_pad)
         return BandedGraphOp(slabs=slabs, lo=jnp.asarray(lo),
                              slabs_t=slabs_t, lo_t=jnp.asarray(lo_t),
                              n_vertex=gso.n_vertex, v_pad=v_pad,
                              use_pallas=use_pallas,
-                             pair_safe=cheb_pair_wavefront_safe(lo, 256),
+                             pair_safe=cheb_pair_wavefront_safe(lo, bs),
+                             pair_stream=cheb_pair_stream_safe(
+                                 lo, slabs.shape[-1], bs),
                              scales=scales, scales_t=scales_t)
 
     from stgcn_tpu.kernels.banded_spmm import pack_banded_with_transpose
 
     slabs, lo, slabs_t, lo_t, v_pad = pack_banded_with_transpose(
-        gso.matrix, block_size=256)
+        gso.matrix, block_size=bs)
     return BandedGraphOp(slabs=jnp.asarray(slabs, dtype), lo=jnp.asarray(lo),
                          slabs_t=jnp.asarray(slabs_t, dtype),
                          lo_t=jnp.asarray(lo_t),
                          n_vertex=gso.n_vertex, v_pad=v_pad,
                          use_pallas=use_pallas,
-                         pair_safe=cheb_pair_wavefront_safe(lo, 256))
+                         pair_safe=cheb_pair_wavefront_safe(lo, bs))
 
 
 def make_graph_op(gso: GraphShiftOperator, kind: str = "auto", **kw) -> GraphOp:

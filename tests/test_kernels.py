@@ -265,6 +265,86 @@ def test_cheb_pair_slab_grads_match_dense():
             err_msg=f"dslabs mismatch at block row {i}")
 
 
+def test_cheb_pair_stream_pack_and_fallback():
+    """The contain_diag block-aligned pack satisfies the streaming-pair
+    preconditions; the vjp wrapper's CPU fallback matches the dense
+    recurrence, forward and d/dx."""
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.kernels.banded_spmm import (banded_cheb_pair_stream_vjp,
+                                               cheb_pair_stream_safe,
+                                               pack_banded_device)
+
+    art = make_gso(500, seed=31)
+    m = permute_matrix(art.matrix, rcm_ordering(art.matrix))
+    slabs, lo, v_pad = pack_banded_device(m, block_size=128, col_align=128,
+                                          contain_diag=True,
+                                          dtype=jnp.float32)
+    assert cheb_pair_stream_safe(lo, slabs.shape[-1], 128)
+    slabs_t, lo_t, _ = pack_banded_device(m.T.tocsr(), block_size=128,
+                                          col_align=128, contain_diag=True,
+                                          dtype=jnp.float32, v_pad=v_pad)
+    lo_j, lo_t_j = jnp.asarray(lo), jnp.asarray(lo_t)
+    rng = np.random.default_rng(32)
+    x = np.zeros((v_pad, 8), np.float32)
+    x[:500] = rng.standard_normal((500, 8))
+    x = jnp.asarray(x)
+    a = jnp.zeros((v_pad, v_pad), jnp.float32).at[:500, :500].set(
+        jnp.asarray(m.toarray(), jnp.float32))
+
+    t1, t2 = banded_cheb_pair_stream_vjp(slabs, lo_j, slabs_t, lo_t_j, x,
+                                         None, None, False)
+    t1d = a @ x
+    t2d = 2.0 * (a @ t1d) - x
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t1d), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t2d), atol=1e-4)
+
+    def f_s(xx):
+        o1, o2 = banded_cheb_pair_stream_vjp(slabs, lo_j, slabs_t, lo_t_j,
+                                             xx, None, None, False)
+        return (o1 ** 2).sum() + 3.0 * (o2 ** 2).sum()
+
+    def f_d(xx):
+        o1 = a @ xx
+        o2 = 2.0 * (a @ o1) - xx
+        return (o1 ** 2).sum() + 3.0 * (o2 ** 2).sum()
+
+    gx = jax.grad(f_s)(x)
+    gx_d = jax.grad(f_d)(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_d),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_banded_int8_cheb_pair_uses_stream_pack():
+    """banded_graph_op(quantize=True) builds a stream-pair-capable pack and
+    its cheb_pair matches the dense recurrence to quantization tolerance."""
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.ops.graph_op import banded_graph_op, dense_graph_op
+
+    art = make_gso(700, seed=33)
+    art = type(art)(matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)),
+                    gso_type=art.gso_type, cheb_rescaled=art.cheb_rescaled,
+                    lam_max=art.lam_max)
+    gq = banded_graph_op(art, use_pallas=False, quantize=True)
+    assert gq.pair_stream
+    gd = dense_graph_op(art)
+    rng = np.random.default_rng(34)
+    x = jnp.asarray(rng.standard_normal((2, 700, 8)).astype(np.float32))
+    t1q, t2q = gq.cheb_pair(x)
+    t1d = gd(x)
+    t2d = 2.0 * gd(t1d) - x
+    for got, want in ((t1q, t1d), (t2q, t2d)):
+        rel = float(jnp.max(jnp.abs(got - want))
+                    / (jnp.max(jnp.abs(want)) + 1e-9))
+        assert rel < 0.03, rel
+    # d/dx through the stream vjp (weights frozen for int8)
+    gq_x = jax.grad(lambda xx: jnp.sum(jnp.cos(sum(gq.cheb_pair(xx)))))(x)
+    gd_x = jax.grad(lambda xx: jnp.sum(jnp.cos(
+        gd(xx) + 2.0 * gd(gd(xx)) - xx)))(x)
+    rel = float(jnp.max(jnp.abs(gq_x - gd_x))
+                / (jnp.max(jnp.abs(gd_x)) + 1e-9))
+    assert rel < 0.05, rel
+
+
 def test_banded_int8_graph_op_close_to_dense():
     """int8 banded operator (per-row scales) matches the dense operator to
     quantization tolerance, forward and d/dx."""
