@@ -169,7 +169,14 @@ def build_trainer(cfg: TrainConfig, *, dataset: str, data_root: str = "data",
                             gso_type=art.gso_type,
                             cheb_rescaled=art.cheb_rescaled,
                             lam_max=art.lam_max)
-        gop = make_graph_op(art, kind=graph_op_kind)
+        # banded slab size by expected SpMM width n = B·T·c (measured:
+        # 512-row slabs 1.13x faster at training widths >= 1024 — wider
+        # slabs cut the window refetch; 256 best at eval widths)
+        t_mid = cfg.n_his - 2 * (cfg.kt - 1)
+        n_expected = cfg.batch_size * max(t_mid, 1) * 16
+        gop = make_graph_op(art, kind=graph_op_kind,
+                            banded_block_size=512 if n_expected >= 1024
+                            else 256)
 
     vel_path = os.path.join(data_root, dataset, "vel.csv")
     if not os.path.exists(vel_path):

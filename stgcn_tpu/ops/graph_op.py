@@ -273,10 +273,12 @@ def banded_graph_op(gso: GraphShiftOperator, *, dtype=jnp.float32,
                          pair_safe=cheb_pair_wavefront_safe(lo, bs))
 
 
-def make_graph_op(gso: GraphShiftOperator, kind: str = "auto", **kw) -> GraphOp:
+def make_graph_op(gso: GraphShiftOperator, kind: str = "auto",
+                  banded_block_size: int | None = None, **kw) -> GraphOp:
     """Pick a representation: dense under ~4k vertices; above that the
     banded-slab kernel when the (assumed RCM-ordered) band is narrow,
-    blocked-ELL otherwise."""
+    blocked-ELL otherwise. ``banded_block_size`` tunes the banded slab
+    rows (see :func:`banded_graph_op`) and is ignored by other kinds."""
     if kind == "auto":
         if gso.n_vertex <= 4096:
             kind = "dense"
@@ -289,7 +291,8 @@ def make_graph_op(gso: GraphShiftOperator, kind: str = "auto", **kw) -> GraphOp:
     if kind == "bcsr":
         return bcsr_graph_op(gso, **kw)
     if kind == "banded":
-        return banded_graph_op(gso, **kw)
+        return banded_graph_op(gso, block_size=banded_block_size, **kw)
     if kind == "banded_int8":
-        return banded_graph_op(gso, quantize=True, **kw)
+        return banded_graph_op(gso, quantize=True,
+                               block_size=banded_block_size, **kw)
     raise ValueError(f"unknown graph-op kind {kind!r}")

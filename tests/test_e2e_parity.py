@@ -26,11 +26,16 @@ from tests.parity_utils import output_params, stblock_params
 
 torch = pytest.importorskip("torch")
 
-V, T, N_HIS, N_PRED, EPOCHS = 20, 400, 12, 3, 2
+N_HIS, N_PRED = 12, 3
 
 
-def test_end_to_end_metric_parity(reference_modules, tmp_path):
-    adj = S.random_road_graph(V, k_neighbors=4, seed=31)
+@pytest.mark.parametrize("V,T,K,EPOCHS", [
+    (20, 400, 4, 2),       # fast CI config
+    (325, 250, 8, 1),      # reference scale: PEMS-BAY vertex count
+])
+def test_end_to_end_metric_parity(reference_modules, tmp_path, V, T, K,
+                                  EPOCHS):
+    adj = S.random_road_graph(V, k_neighbors=K, seed=31)
     vel = S.generate_synthetic_vel(adj, T, seed=32)
     art = build_gso(adj, "sym_norm_lap", cheb=True)
     gso_np = art.to_dense()
