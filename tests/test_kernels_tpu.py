@@ -140,6 +140,115 @@ def test_banded_resident_matches_reference(tpu_setup):
     assert err < 0.05  # default-precision bf16 multiplies in the bwd
 
 
+def test_cheb_pair_stream_on_tpu(tpu_setup):
+    """Streaming Chebyshev pair (no x residency) matches two applications
+    on hardware, bf16 and int8."""
+    import jax.numpy as jnp
+
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.kernels.banded_spmm import (banded_cheb_pair_stream,
+                                               banded_spmm,
+                                               cheb_pair_stream_safe,
+                                               pack_banded_device)
+
+    import jax
+
+    s = tpu_setup
+    m = permute_matrix(s["art"].matrix, rcm_ordering(s["art"].matrix))
+    rng = np.random.default_rng(6)
+    # conftest pins matmul precision to 'highest' for parity tests; Mosaic
+    # cannot lower highest-precision bf16 dots — use the production path
+    for dtype in (jnp.bfloat16, jnp.int8):
+        out = pack_banded_device(m, block_size=256, col_align=256,
+                                 contain_diag=True, dtype=dtype)
+        if dtype == jnp.int8:
+            slabs, lo, v_pad, scales = out
+        else:
+            slabs, lo, v_pad = out
+            scales = None
+        assert cheb_pair_stream_safe(lo, slabs.shape[-1], 256)
+        lo_j = jnp.asarray(lo)
+        # rows past the true vertex count are window padding — zero them
+        # (the kernel zero-pads its outputs there; A rows there are zero)
+        x_np = np.zeros((v_pad, 64), np.float32)
+        x_np[:s["n"]] = rng.standard_normal((s["n"], 64))
+        x = jnp.asarray(x_np).astype(jnp.bfloat16)
+        with jax.default_matmul_precision("bfloat16"):
+            t1, t2 = banded_cheb_pair_stream(slabs, lo_j, x, scales=scales)
+            # oracle: two single applications, same t1 rounding
+            t1o = banded_spmm(slabs, lo_j, x, scales=scales)
+            t1o = jnp.pad(t1o, ((0, v_pad - t1o.shape[0]), (0, 0))) \
+                if t1o.shape[0] < v_pad else t1o[:v_pad]
+            b = banded_spmm(slabs, lo_j, t1o,
+                            scales=scales).astype(jnp.float32)
+        b = jnp.pad(b, ((0, v_pad - b.shape[0]), (0, 0))) \
+            if b.shape[0] < v_pad else b[:v_pad]
+        t2o = 2.0 * b - x.astype(jnp.float32)
+        e1 = float(jnp.abs(t1.astype(jnp.float32)
+                           - t1o[:t1.shape[0]].astype(jnp.float32)).max())
+        scale = float(jnp.abs(t2o).max()) + 1e-9
+        e2 = float(jnp.abs(t2.astype(jnp.float32)
+                           - t2o[:t2.shape[0]]).max()) / scale
+        assert e1 == 0.0, (dtype, e1)   # t1 path is identical math
+        assert e2 < 2e-2, (dtype, e2)   # t2 differs by accumulation order
+
+
+def test_ell_resident_on_tpu(tpu_setup):
+    """The resident-x ELL variant (taken when x fits VMEM) matches the
+    dense oracle on hardware with 256x256 tiles."""
+    import jax
+    import jax.numpy as jnp
+
+    from stgcn_tpu.graph.packing import pack_bcsr
+    from stgcn_tpu.kernels.spmm import bcsr_spmm
+
+    s = tpu_setup
+    data, cols, counts = pack_bcsr(s["art"].matrix, block_size=256)
+    rng = np.random.default_rng(7)
+    x_np = rng.standard_normal((data.shape[0] * 256, 64)).astype(np.float32)
+    y = bcsr_spmm(jnp.asarray(data, jnp.float32), jnp.asarray(cols),
+                  jnp.asarray(x_np), counts=jnp.asarray(counts),
+                  block_size=256, precision=jax.lax.Precision.HIGHEST)
+    expect = s["art"].matrix.toarray() @ x_np[:s["n"]].astype(np.float64)
+    err = float(jnp.abs(y[:s["n"]] - jnp.asarray(expect, jnp.float32)).max())
+    assert err < 1e-4
+
+
+def test_banded_sharded_p1_on_tpu(tpu_setup):
+    """The halo-exchange sharded operator at P=1 on the real chip (pallas
+    inside shard_map) matches the single-chip banded operator bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stgcn_tpu.dist import banded_sharded_graph_op, make_mesh
+    from stgcn_tpu.graph.gso import GraphShiftOperator
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.ops.graph_op import banded_graph_op
+
+    s = tpu_setup
+    art = s["art"]
+    mesh = make_mesh(data=1, graph=1)
+    op, part = banded_sharded_graph_op(art, mesh, dtype=jnp.bfloat16)
+    pm = permute_matrix(art.matrix, rcm_ordering(art.matrix))
+    art_p = GraphShiftOperator(matrix=pm, gso_type=art.gso_type,
+                               cheb_rescaled=art.cheb_rescaled,
+                               lam_max=art.lam_max)
+    bop = banded_graph_op(art_p, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(8)
+    n = s["n"]
+    x = jnp.asarray(rng.standard_normal((op.n_vertex_pad, 64))
+                    .astype(np.float32)).astype(jnp.bfloat16)
+    x = jax.device_put(x, NamedSharding(mesh, P("graph", None)))
+    with jax.default_matmul_precision("bfloat16"):
+        f = jax.jit(lambda g, xx: g(xx))
+        y = f(op, x)
+        yb = f(bop, x[:n])
+    err = float(jnp.abs(y[:n].astype(jnp.float32)
+                        - yb.astype(jnp.float32)).max())
+    assert err == 0.0, err
+
+
 def test_banded_int8_on_tpu(tpu_setup):
     """int8 slabs with per-row output scales match the f32 reference to
     quantization tolerance on hardware (device-side packed)."""
