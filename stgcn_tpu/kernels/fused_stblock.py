@@ -7,18 +7,19 @@ batch entirely in VMEM, with a single HBM read of the block input and a
 single HBM write of the block output, versus ~10 activation round-trips
 per block on the unfused path.
 
-Status: **correctness-demonstration path, not a perf path.** Measured
-(see ROADMAP.md): numerically parity-exact and fully integrated
-(``--fused``), but slower than the unfused XLA bf16 path at PEMS-BAY
-scale (fwd 21.6 ms vs 7.6 ms, B=512) — XLA already runs at ~50% of the
-HBM roofline there, and this kernel's f32 VPU work outweighs the saved
-traffic. The one lever that would flip it — bf16 transcendentals in
-Mosaic — still miscompiles as of jax 0.9 (re-verified 2026-08:
-``vector.broadcast`` f32→bf16 verification error), and whole-network
-fusion would not help because the wall is VPU elementwise + small-K
-matmuls, not inter-block HBM traffic. No performance claims are made
-for this kernel; the production fast path is the unfused bf16 model
-with the banded/ELL sparse graph kernels.
+Status: **correctness-demonstration path, not a perf path at small V.**
+Measured on v5e (PEMS-BAY V=325, B=512): f32 internals fwd 22.1 ms /
+step 62.1 ms; ``precision='bfloat16'`` internals (bf16 storage + MXU
+operands + VPU elementwise, f32 accumulation and LN statistics, sigmoid
+composed via tanh because Mosaic's bf16 ``logistic`` still miscompiles
+on jax 0.9) fwd 18.4 ms / step 50.6 ms — faster, but still behind the
+unfused XLA bf16 path (fwd 8.4 ms / step 35.3 ms): at V=325 the wall is
+small-K matmuls and per-tile overheads, not HBM traffic, and XLA's
+batched-conv formulation wins. No performance claims are made for this
+kernel at road-graph scale; the production fast path there is the
+unfused bf16 model. Where fusion DOES pay — the HBM-bound 100k+ vertex
+regime — the vertex-tiled variant (:mod:`vertex_fused`), which shares
+this module's layer math and bf16 machinery, is the perf path.
 
 Layout design (v2, every choice measured on v5e):
 
@@ -62,8 +63,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _F32 = jnp.float32
+_BF16 = jnp.bfloat16
 
-_PRECISIONS = {"default": None, "highest": lax.Precision.HIGHEST}
+# 'bfloat16' = bf16 storage/operands with f32 matmul accumulation and f32
+# LayerNorm statistics (the perf mode); dot precision None lets the MXU run
+# native bf16.
+_PRECISIONS = {"default": None, "highest": lax.Precision.HIGHEST,
+               "bfloat16": None}
 
 
 def _round_up(x: int, m: int) -> int:
@@ -96,6 +102,11 @@ class FusedBlockConfig:
     @property
     def gated(self) -> bool:
         return self.act_func in ("glu", "gtu")
+
+    @property
+    def cdt(self):
+        """Compute/storage dtype of activations inside the kernel."""
+        return _BF16 if self.precision == "bfloat16" else _F32
 
     @property
     def g1(self) -> int:
@@ -163,51 +174,71 @@ def _pad_channels(x4, c_out):
     return jnp.pad(x4, ((0, 0),) * (x4.ndim - 1) + ((0, c_out - c_in),))
 
 
+def _sigmoid(x):
+    """Mosaic miscompiles bf16 ``logistic`` (verification error, jax 0.9)
+    while ``tanh`` lowers correctly — compose σ(x) = ½(1 + tanh(x/2)) for
+    bf16 operands. f32 keeps the stock lowering (parity path)."""
+    if x.dtype == _BF16:
+        half = _BF16(0.5)
+        return jnp.tanh(x * half) * half + half
+    return jax.nn.sigmoid(x)
+
+
+def _pos_mask(x):
+    """``(x > 0)`` as a multiplicative mask. bf16 comparisons/selects
+    miscompile in Mosaic — compare on an f32 upcast instead."""
+    if x.dtype == _BF16:
+        return (x.astype(_F32) > 0).astype(_BF16)
+    return (x > 0).astype(x.dtype)
+
+
 def _gate_fwd(cfg, s, xin, c):
     """Reference gate semantics (`model/layers.py:105,109,111-115`)."""
     if cfg.gated:
         p, q = s[..., :c], s[..., c:]
         lin = p + xin
         if cfg.act_func == "glu":
-            return lin * jax.nn.sigmoid(q)
-        return jnp.tanh(lin) * jax.nn.sigmoid(q)
+            return lin * _sigmoid(q)
+        return jnp.tanh(lin) * _sigmoid(q)
     z = s + xin
     if cfg.act_func == "relu":
-        return jax.nn.relu(z)
-    return jax.nn.silu(z)
+        return jnp.maximum(z, 0)
+    return z * _sigmoid(z)  # silu
 
 
 def _gate_bwd(cfg, s, xin, c, da):
     """Returns (ds, dxin)."""
+    one = s.dtype.type(1.0)
     if cfg.gated:
         p, q = s[..., :c], s[..., c:]
         lin = p + xin
-        sq = jax.nn.sigmoid(q)
+        sq = _sigmoid(q)
         if cfg.act_func == "glu":
             dlin = da * sq
-            dq = da * lin * sq * (1.0 - sq)
+            dq = da * lin * sq * (one - sq)
         else:  # gtu
             th = jnp.tanh(lin)
-            dlin = da * sq * (1.0 - th * th)
-            dq = da * th * sq * (1.0 - sq)
+            dlin = da * sq * (one - th * th)
+            dq = da * th * sq * (one - sq)
         return jnp.concatenate([dlin, dq], axis=-1), dlin
     z = s + xin
     if cfg.act_func == "relu":
-        dz = da * (z > 0).astype(da.dtype)
+        dz = da * _pos_mask(z)
     else:  # silu
-        sz = jax.nn.sigmoid(z)
-        dz = da * sz * (1.0 + z * (1.0 - sz))
+        sz = _sigmoid(z)
+        dz = da * sz * (one + z * (one - sz))
     return dz, dz
 
 
 def _tconv_fwd(x4, kernel, bias, kt, prec=None):
     """Tap-decomposed valid temporal conv, one whole-tile dot per tap.
-    ``x4``: [TB, T, Vp, c_in]; ``kernel``: [kt, c_in, c_out]."""
+    ``x4``: [TB, T, Vp, c_in]; ``kernel``: [kt, c_in, c_out]. Taps
+    accumulate in f32; the result is stored in the compute dtype."""
     t_out = x4.shape[1] - kt + 1
     acc = _dot(x4[:, 0:t_out], kernel[0], prec)
     for k in range(1, kt):
         acc = acc + _dot(x4[:, k:k + t_out], kernel[k], prec)
-    return acc + bias
+    return (acc + bias.astype(_F32)).astype(x4.dtype)
 
 
 def _graph_chain_fwd(cfg, g_mat, xg, prec):
@@ -216,28 +247,32 @@ def _graph_chain_fwd(cfg, g_mat, xg, prec):
     Returns the list of T_k terms in nm layout ([T_0..T_{ks-1}]); for
     graph_conv, a single-element list [G·x]. `model/layers.py:146-168`.
     """
+    cdt = xg.dtype
     tb, t1, v, c1 = xg.shape
     xg_cv = _to_cv(xg)
     if cfg.graph_conv_type == "graph_conv":
-        t1_cv = _gmul_cv(xg_cv, g_mat, prec)
+        t1_cv = _gmul_cv(xg_cv, g_mat, prec).astype(cdt)
         return [_from_cv(t1_cv, tb, t1, v, c1)]
     ts = [xg]
     if cfg.ks >= 2:
-        prev2, prev1 = xg_cv, _gmul_cv(xg_cv, g_mat, prec)
+        prev2 = xg_cv
+        prev1 = _gmul_cv(xg_cv, g_mat, prec).astype(cdt)
         ts.append(_from_cv(prev1, tb, t1, v, c1))
         for _ in range(2, cfg.ks):
-            tk = 2.0 * _gmul_cv(prev1, g_mat, prec) - prev2
+            tk = (2.0 * _gmul_cv(prev1, g_mat, prec)
+                  - prev2.astype(_F32)).astype(cdt)
             ts.append(_from_cv(tk, tb, t1, v, c1))
             prev2, prev1 = prev1, tk
     return ts
 
 
 def _graph_out(cfg, ts, gcw, gcb, prec):
-    """``Σ_k T_k W_k + b`` over the nm-layout term list."""
+    """``Σ_k T_k W_k + b`` over the nm-layout term list (f32 accumulate,
+    compute-dtype result)."""
     out = _dot(ts[0], gcw[0], prec)
     for k in range(1, len(ts)):
         out = out + _dot(ts[k], gcw[k], prec)
-    return out + gcb
+    return (out + gcb.astype(_F32)).astype(ts[0].dtype)
 
 
 def _sum_vc(a):
@@ -247,14 +282,19 @@ def _sum_vc(a):
 
 
 def _ln_fwd(cfg, a, vmask, lng, lnb):
-    """Masked joint (V, C) LayerNorm (`model/layers.py:246`), per (b, t)."""
+    """Masked joint (V, C) LayerNorm (`model/layers.py:246`), per (b, t).
+    Statistics and normalization run in f32 regardless of the compute
+    dtype (bf16 accumulators over V·C elements would be useless); only
+    the result is stored in the compute dtype."""
     denom = float(cfg.v_true * cfg.c2)
-    am = a * vmask
+    cdt = a.dtype
+    a32 = a.astype(_F32)
+    am = a32 * vmask
     mu = _sum_vc(am) / denom
-    d = (a - mu) * vmask
+    d = (a32 - mu) * vmask
     var = _sum_vc(d * d) / denom
     rstd = lax.rsqrt(var + 1e-12)
-    y = ((a - mu) * rstd) * lng + lnb
+    y = (((a32 - mu) * rstd) * lng + lnb).astype(cdt)
     return y, mu, rstd
 
 
@@ -265,16 +305,18 @@ def _forward_pieces(cfg, g_mat, vmask, x4, w, drop_mask=None):
     (c1k, c1b, gaw, gab, gcw, gcb, c2k, c2b, lng, lnb) = w
     kt = cfg.kt
     prec = _PRECISIONS[cfg.precision]
+    if drop_mask is not None:
+        drop_mask = drop_mask.astype(x4.dtype)
 
     s1 = _tconv_fwd(x4, c1k, c1b, kt, prec)
     xin1 = _pad_channels(x4[:, kt - 1:], cfg.c0)
     a1 = _gate_fwd(cfg, s1, xin1, cfg.c0)
 
-    xg = _dot(a1, gaw, prec) + gab
+    xg = (_dot(a1, gaw, prec) + gab.astype(_F32)).astype(a1.dtype)
     ts = _graph_chain_fwd(cfg, g_mat, xg, prec)
     gc = _graph_out(cfg, ts, gcw, gcb, prec)
     r = gc + xg
-    h = jax.nn.relu(r)
+    h = jnp.maximum(r, 0)
 
     s2 = _tconv_fwd(h, c2k, c2b, kt, prec)
     xin2 = _pad_channels(h[:, kt - 1:], cfg.c2)
@@ -294,16 +336,25 @@ def _shift_pad_t(y4, k, t_total):
     return jnp.pad(y4, ((0, 0), (k, t_total - t_out - k), (0, 0), (0, 0)))
 
 
+def _fsum(a, axis):
+    """f32 reduction regardless of operand dtype (bf16 accumulators over a
+    whole batch tile would drop the gradient's low bits)."""
+    return jnp.sum(a.astype(_F32), axis=axis)
+
+
 def _tconv_bwd(x4, ds, kernel, kt, prec):
-    """Backward of the tap-decomposed conv: returns (dkernel, dbias, dx)."""
+    """Backward of the tap-decomposed conv: returns (dkernel, dbias, dx).
+    Weight/bias grads accumulate in f32; dx stays in the compute dtype."""
     t_out = ds.shape[1]
     t_total = x4.shape[1]
     dk = jnp.stack([_dot_t_a(x4[:, k:k + t_out], ds, prec)
                     for k in range(kt)])
-    db = jnp.sum(ds, axis=(0, 1, 2))
-    dx = _shift_pad_t(_dot(ds, kernel[0].T, prec), 0, t_total)
+    db = _fsum(ds, (0, 1, 2))
+    dx = _shift_pad_t(_dot(ds, kernel[0].T, prec).astype(ds.dtype),
+                      0, t_total)
     for k in range(1, kt):
-        dx = dx + _shift_pad_t(_dot(ds, kernel[k].T, prec), k, t_total)
+        dx = dx + _shift_pad_t(_dot(ds, kernel[k].T, prec).astype(ds.dtype),
+                               k, t_total)
     return dk, db, dx
 
 
@@ -313,19 +364,21 @@ def _backward_pieces(cfg, g_mat, gt_mat, vmask, x4, w, fw, gy, drop_mask=None):
     (c1k, c1b, gaw, gab, gcw, gcb, c2k, c2b, lng, lnb) = w
     kt = cfg.kt
     prec = _PRECISIONS[cfg.precision]
+    cdt = x4.dtype
     tb, t1 = x4.shape[0], cfg.t1
     denom = float(cfg.v_true * cfg.c2)
 
-    # LN (+ dropout) backward
+    # LN (+ dropout) backward — statistics in f32 (matches _ln_fwd)
     if drop_mask is not None:
-        gy = gy * drop_mask
-    xhat = (fw["a2"] - fw["mu"]) * fw["rstd"] * vmask
-    dlng = jnp.sum(gy * xhat, axis=(0, 1))
-    dlnb = jnp.sum(gy, axis=(0, 1))
-    gd = gy * lng
+        gy = gy * drop_mask.astype(gy.dtype)
+    gy32 = gy.astype(_F32)
+    xhat = (fw["a2"].astype(_F32) - fw["mu"]) * fw["rstd"] * vmask
+    dlng = jnp.sum(gy32 * xhat, axis=(0, 1))
+    dlnb = jnp.sum(gy32, axis=(0, 1))
+    gd = gy32 * lng
     m1 = _sum_vc(gd * vmask) / denom
     m2 = _sum_vc(gd * xhat) / denom
-    da2 = fw["rstd"] * (gd - m1 - xhat * m2) * vmask
+    da2 = (fw["rstd"] * (gd - m1 - xhat * m2) * vmask).astype(cdt)
 
     # temporal gate 2 backward
     ds2, dxin2 = _gate_bwd(cfg, fw["s2"], fw["xin2"], cfg.c2, da2)
@@ -333,40 +386,44 @@ def _backward_pieces(cfg, g_mat, gt_mat, vmask, x4, w, fw, gy, drop_mask=None):
     dh = dh + _shift_pad_t(dxin2[..., : cfg.c1], kt - 1, t1)
 
     # relu + residual split
-    dr = dh * (fw["r"] > 0).astype(_F32)
+    dr = dh * _pos_mask(fw["r"])
     dgc = dr
 
-    # graph chain backward (adjoint recurrence in cv-layout)
+    # graph chain backward (adjoint recurrence in cv-layout; G-dots take
+    # compute-dtype operands and accumulate f32, like the forward)
     ts = fw["ts"]
-    dgcb = jnp.sum(dgc, axis=(0, 1, 2))
-    dxg = dr  # residual branch
+    dgcb = _fsum(dgc, (0, 1, 2))
+    dxg32 = dr.astype(_F32)  # residual branch
     if cfg.graph_conv_type == "graph_conv":
         dgcw = _dot_t_a(ts[0], dgc, prec)[None]
-        dt1_cv = _to_cv(_dot(dgc, gcw[0].T, prec))
-        dxg = dxg + _from_cv(_gmul_cv(dt1_cv, gt_mat, prec),
-                             tb, t1, cfg.v_pad, cfg.c1)
+        dt1_cv = _to_cv(_dot(dgc, gcw[0].T, prec).astype(cdt))
+        dxg32 = dxg32 + _from_cv(_gmul_cv(dt1_cv, gt_mat, prec),
+                                 tb, t1, cfg.v_pad, cfg.c1)
     else:
         dgcw = jnp.stack([_dot_t_a(ts[k], dgc, prec)
                           for k in range(cfg.ks)])
-        dts_cv = [_to_cv(_dot(dgc, gcw[k].T, prec))
+        dts_cv = [_to_cv(_dot(dgc, gcw[k].T, prec).astype(cdt))
                   for k in range(cfg.ks)]
         if cfg.ks == 1:
-            dxg = dxg + _from_cv(dts_cv[0], tb, t1, cfg.v_pad, cfg.c1)
+            dxg32 = dxg32 + _from_cv(dts_cv[0], tb, t1,
+                                     cfg.v_pad, cfg.c1).astype(_F32)
         else:
             # adjoint of T_k = 2 G T_{k-1} − T_{k-2}, then T_1 = G T_0
             dt_hi = dts_cv[cfg.ks - 1]
             dt_lo = dts_cv[cfg.ks - 2]
             for k in range(cfg.ks - 1, 1, -1):
-                dt_lo = dt_lo + 2.0 * _gmul_cv(dt_hi, gt_mat, prec)
+                dt_lo = (dt_lo.astype(_F32)
+                         + 2.0 * _gmul_cv(dt_hi, gt_mat, prec)).astype(cdt)
                 dt_lo2 = dts_cv[k - 2] - dt_hi
                 dt_hi, dt_lo = dt_lo, dt_lo2
-            dt0_cv = dt_lo + _gmul_cv(dt_hi, gt_mat, prec)
-            dxg = dxg + _from_cv(dt0_cv, tb, t1, cfg.v_pad, cfg.c1)
+            dt0_cv = dt_lo.astype(_F32) + _gmul_cv(dt_hi, gt_mat, prec)
+            dxg32 = dxg32 + _from_cv(dt0_cv, tb, t1, cfg.v_pad, cfg.c1)
 
     # graph align backward
+    dxg = dxg32.astype(cdt)
     dgaw = _dot_t_a(fw["a1"], dxg, prec)
-    dgab = jnp.sum(dxg, axis=(0, 1, 2))
-    da1 = _dot(dxg, gaw.T, prec)
+    dgab = jnp.sum(dxg32, axis=(0, 1, 2))
+    da1 = _dot(dxg, gaw.T, prec).astype(cdt)
 
     # temporal gate 1 backward
     ds1, dxin1 = _gate_bwd(cfg, fw["s1"], fw["xin1"], cfg.c0, da1)
@@ -393,7 +450,7 @@ def _kernel_drop_mask(cfg, seed):
     bits = pltpu.bitcast(
         pltpu.prng_random_bits((cfg.batch_tile, cfg.t2, cfg.v_pad, cfg.c2)),
         jnp.uint32)
-    return (bits >= thr).astype(_F32) * inv_keep
+    return ((bits >= thr).astype(_F32) * inv_keep).astype(cfg.cdt)
 
 
 def reference_drop_masks(cfg, rng, n_total):
@@ -476,8 +533,10 @@ def _const_spec(shape):
 
 def _compiler_params():
     # v5e has 128 MB of VMEM; the default 16 MB scoped limit is far too
-    # conservative for a whole-block working set.
-    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    # conservative for a whole-block working set. (The bf16 backward at
+    # batch_tile=8 peaks at ~107 MB of stack — measured — so the limit
+    # sits near the physical ceiling.)
+    return pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024)
 
 
 def _flops_estimate(cfg):
@@ -516,7 +575,7 @@ def _fwd_pallas(cfg, seed, x, gso, w):
         _make_fwd_kernel(cfg),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (x.shape[0], cfg.t2, cfg.v_pad, cfg.c2), _F32),
+            (x.shape[0], cfg.t2, cfg.v_pad, cfg.c2), cfg.cdt),
         cost_estimate=pl.CostEstimate(
             flops=_flops_estimate(cfg) * nb,
             bytes_accessed=(x.size + x.shape[0] * cfg.t2 * cfg.v_pad * cfg.c2) * 4,
@@ -558,7 +617,7 @@ def _bwd_pallas(cfg, seed, x, gso, gso_t, w, gy):
         ],
     )
     out_shapes = [
-        jax.ShapeDtypeStruct(x.shape, _F32),
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
         jax.ShapeDtypeStruct(c1k.shape, _F32),
         jax.ShapeDtypeStruct((1, cfg.g1), _F32),
         jax.ShapeDtypeStruct(gaw.shape, _F32),
@@ -604,12 +663,18 @@ def _fused_block_fwd(cfg, seed, x, gso, gso_t, *w):
 
 def _fused_block_bwd(cfg, res, gy):
     seed, x, gso, gso_t, w = res
-    grads = _bwd_pallas(cfg, seed, x, gso, gso_t, w, gy)
+    grads = _bwd_pallas(cfg, seed, x, gso, gso_t, w, gy.astype(cfg.cdt))
     (dx, dc1k, dc1b, dgaw, dgab, dgcw, dgcb, dc2k, dc2b, dlng, dlnb) = grads
     seed_bar = np.zeros((), jax.dtypes.float0)
-    return (seed_bar, dx, jnp.zeros_like(gso), jnp.zeros_like(gso_t),
-            dc1k, dc1b[0], dgaw, dgab[0], dgcw, dgcb[0],
+    # custom_vjp cotangents must match the primal dtypes: the kernel
+    # accumulates weight grads in f32 across the grid; the cast back to the
+    # (possibly bf16) primal dtype happens once, here.
+    outs = (dx, dc1k, dc1b[0], dgaw, dgab[0], dgcw, dgcb[0],
             dc2k, dc2b[0], dlng, dlnb)
+    prim = (x,) + w
+    outs = tuple(o.astype(p.dtype) for o, p in zip(outs, prim))
+    return (seed_bar, outs[0], jnp.zeros_like(gso), jnp.zeros_like(gso_t),
+            *outs[1:])
 
 
 _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
@@ -639,13 +704,17 @@ def _pick_batch_tile(cfg_proto) -> int:
     """Largest tile whose backward working set stays well under VMEM
     (v5e: 128 MB physical; leave room for pipeline double-buffering)."""
     v = cfg_proto.v_pad
+    itm = 2 if cfg_proto.precision == "bfloat16" else 4
     c1p = max(cfg_proto.c1, 128)  # nm-layout narrow tensors pad to 128 lanes
-    per_sample = 4 * v * (
+    # the 1.7 factor calibrates the array inventory below to Mosaic's
+    # measured stack peak (PEMS-BAY/B=512: bf16 backward fits at tile 4,
+    # OOMs at 6; f32 at tile 2)
+    per_sample = int(1.7 * itm) * v * (
         2 * cfg_proto.t_in * max(cfg_proto.c_in, 8)
         + cfg_proto.t1 * (3 * cfg_proto.g1 + 2 * cfg_proto.c0
                           + (cfg_proto.ks + 4) * c1p + 3 * cfg_proto.c1)
         + cfg_proto.t2 * (3 * cfg_proto.g2 + 4 * cfg_proto.c2))
-    budget = 72 * 1024 * 1024 - 8 * v * v
+    budget = 90 * 1024 * 1024 - 2 * itm * v * v
     return max(1, min(8, budget // max(per_sample, 1)))
 
 
@@ -710,12 +779,15 @@ def fused_st_block(x, gso, params, *,
         gso = jnp.pad(gso, ((0, v_pad - v), (0, v_pad - v)))
         lng = jnp.pad(lng, ((0, v_pad - v), (0, 0)))
         lnb = jnp.pad(lnb, ((0, v_pad - v), (0, 0)))
-    w = (c1k.astype(_F32), c1b.astype(_F32),
-         gaw.astype(_F32), gab.astype(_F32), gcw.astype(_F32),
-         gcb.astype(_F32), jnp.squeeze(c2k, axis=1).astype(_F32),
+    # MXU-operand tensors (x, gso, conv/align/cheb weights) carry the compute
+    # dtype; biases and LN params stay f32 (added/applied on f32 accumulators).
+    cdt = _BF16 if precision == "bfloat16" else _F32
+    w = (c1k.astype(cdt), c1b.astype(_F32),
+         gaw.astype(cdt), gab.astype(_F32), gcw.astype(cdt),
+         gcb.astype(_F32), jnp.squeeze(c2k, axis=1).astype(cdt),
          c2b.astype(_F32), lng.astype(_F32), lnb.astype(_F32))
-    x = x.astype(_F32)
-    gso = gso.astype(_F32)
+    x = x.astype(cdt)
+    gso = gso.astype(cdt)
 
     if not use_pallas:
         cfg = dataclasses.replace(proto, batch_tile=1)

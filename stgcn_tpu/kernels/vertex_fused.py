@@ -1,0 +1,737 @@
+"""Vertex-tiled fused ST-block kernels for the sparse (large-V) path.
+
+At 100k+ vertices the training step is dominated by elementwise HBM
+chains — LN/gates/dropout on ``[B, T, V, 64]`` activations and their
+backprop — not by the graph SpMM (measured: graph ≈ 36 ms of a 473 ms
+step; ROADMAP.md). The dense fused block (:mod:`fused_stblock`) cannot
+help there: it holds all of V in VMEM. These kernels tile the **vertex
+axis** instead and fuse everything *around* the graph aggregation:
+
+- ``head_fused`` — [prev block's LayerNorm-normalize + dropout →]
+  temporal conv 1 → gate → bottleneck align: one HBM read of the block
+  input, one write of the ``c1``-narrow graph operand ``xg``.
+- (graph aggregation runs between them: the existing banded/ELL Pallas
+  SpMM / fused Chebyshev-pair kernels, `ops/graph_op.py`.)
+- ``tail_fused`` — Chebyshev weight contraction → residual → ReLU →
+  temporal conv 2 → gate, emitting the pre-LN activation ``a2`` plus
+  per-tile LayerNorm partial sums (sum, sum-of-squares) so the joint
+  (V, C) statistics (`model/layers.py:246`) reduce across tiles in one
+  tiny XLA step.
+
+The LayerNorm *normalize* + dropout of block ``l`` runs inside block
+``l+1``'s ``head_fused`` (it is per-vertex once the scalar stats are
+known), so between ST blocks no full-size activation crosses HBM more
+than once in each direction. Dropout uses the on-core PRNG seeded by
+``(seed, program_id)`` and is regenerated identically in the backward
+kernel — no mask tensor in HBM.
+
+Both kernels ship hand-written recompute-based backward kernels wired
+via ``custom_vjp`` (the forward is cheap to recompute per tile), with
+weight gradients accumulated in f32 across the sequential TPU grid —
+the same scheme as :mod:`fused_stblock`, whose layer math helpers
+(`_gate_fwd/_gate_bwd/_tconv_fwd/_tconv_bwd` …) are reused verbatim;
+reference semantics citations live there.
+
+Everything runs in the activation dtype (bf16 in production) with f32
+matmul accumulation and f32 LayerNorm statistics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stgcn_tpu.kernels.fused_stblock import (
+    _BF16,
+    _F32,
+    _PRECISIONS,
+    _dot,
+    _dot_t_a,
+    _fsum,
+    _gate_bwd,
+    _gate_fwd,
+    _pad_channels,
+    _round_up,
+    _shift_pad_t,
+    _sum_vc,
+    _tconv_bwd,
+    _tconv_fwd,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class VertexBlockCfg:
+    """Static config shared by the head/tail kernels of one ST block
+    (hashable: ``custom_vjp`` nondiff arg and compile-cache key)."""
+
+    kt: int
+    ks: int
+    act_func: str
+    graph_conv_type: str
+    droprate: float
+    v_true: int          # true vertex count (LN statistics mask)
+    v_pad: int           # padded vertex count (tile_v multiple)
+    t_in: int            # input time length of this block
+    c_in: int
+    c0: int
+    c1: int
+    c2: int
+    tile_v: int
+    apply_ln: bool       # head: normalize+dropout the input (block l>0)
+    training: bool
+    interpret: bool = False
+    precision: str = "default"
+    b_tile: int = 0      # batch tile (0 = whole batch per grid step)
+
+    @property
+    def gated(self) -> bool:
+        return self.act_func in ("glu", "gtu")
+
+    @property
+    def g1(self) -> int:
+        return 2 * self.c0 if self.gated else self.c0
+
+    @property
+    def g2(self) -> int:
+        return 2 * self.c2 if self.gated else self.c2
+
+    @property
+    def t1(self) -> int:
+        return self.t_in - self.kt + 1
+
+    @property
+    def t2(self) -> int:
+        return self.t1 - self.kt + 1
+
+    @property
+    def n_terms(self) -> int:
+        """Graph terms entering the weight contraction besides xg."""
+        return 1 if self.graph_conv_type == "graph_conv" else self.ks - 1
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def pick_b_tile(cfg: VertexBlockCfg, b: int,
+                budget_bytes: int = 52 * 1024 * 1024) -> int:
+    """Batch tile whose estimated per-grid-step VMEM footprint (worst
+    case: the tail backward — f32 intermediates for the forward replay,
+    the gradient chain, and double-buffered input blocks) stays under
+    ``budget_bytes`` (the kernels' scoped limit is 100 MB). Prefers an
+    exact divisor of ``b`` (no padding); falls back to the largest
+    power of two under budget, for which the caller pads the batch."""
+    nt = cfg.n_terms
+    per_sample = 4 * cfg.tile_v * (
+        cfg.t_in * cfg.c_in * 3
+        + cfg.t1 * (cfg.g1 * 3 + cfg.c0 * 2 + cfg.c1 * (5 + 2 * nt))
+        + cfg.t2 * (cfg.g2 * 3 + cfg.c2 * 4))
+    cap = max(1, min(b, budget_bytes // per_sample))
+    for d in range(cap, 0, -1):
+        if b % d == 0:
+            if 2 * d > cap:
+                return d          # divisor within 2x of cap: no padding
+            break
+    return 1 << (cap.bit_length() - 1)
+
+
+# --------------------------------------------------------------------------
+# shared math (runs inside Pallas kernels and as plain jnp reference)
+# --------------------------------------------------------------------------
+
+def _ln_drop_fwd(cfg, x4, mu, rstd, lng, lnb, mask):
+    """Normalize the previous block's pre-LN output with given scalar
+    stats, apply the (V, C) affine, then dropout. ``mu``/``rstd``:
+    [B, T, 1, 1] keepdims (Mosaic cannot reshape a 2D vector to
+    trailing-singleton 4D, so stats stay 4D end-to-end); ``lng``/``lnb``:
+    [tile_v, c] (zero on padded rows)."""
+    cdt = x4.dtype
+    xn = (x4.astype(_F32) - mu) * rstd
+    y = (xn * lng + lnb).astype(cdt)
+    if mask is not None:
+        y = y * mask
+    return y
+
+
+def _ln_drop_bwd(cfg, x4, mu, rstd, lng, lnb, mask, dy):
+    """Returns (dx_raw, dmu[B,T,1,1], drstd[B,T,1,1], dlng, dlnb) for the
+    head's input-normalization stage. Statistics math in f32."""
+    xn = (x4.astype(_F32) - mu) * rstd
+    dy0 = dy if mask is None else dy * mask
+    dy32 = dy0.astype(_F32)
+    dlng = jnp.sum(dy32 * xn, axis=(0, 1))
+    dlnb = jnp.sum(dy32, axis=(0, 1))
+    dxn = dy32 * lng
+    dx = (dxn * rstd).astype(x4.dtype)
+    dmu = -_sum_vc(dxn) * rstd
+    drstd = _sum_vc(dxn * (x4.astype(_F32) - mu))
+    return dx, dmu, drstd, dlng, dlnb
+
+
+def _head_core(cfg, x4, w):
+    """tconv1 → gate → align; ``x4`` already normalized/dropped.
+    Returns dict of intermediates."""
+    c1k, c1b, gaw, gab = w
+    prec = _PRECISIONS[cfg.precision]
+    s1 = _tconv_fwd(x4, c1k, c1b, cfg.kt, prec)
+    xin1 = _pad_channels(x4[:, cfg.kt - 1:], cfg.c0)
+    a1 = _gate_fwd(cfg, s1, xin1, cfg.c0)
+    xg = (_dot(a1, gaw, prec) + gab.astype(_F32)).astype(a1.dtype)
+    return dict(s1=s1, xin1=xin1, a1=a1, xg=xg)
+
+
+def _head_core_bwd(cfg, x4, w, fw, dxg):
+    """Backward of `_head_core`; returns dict with dx4 and weight grads."""
+    c1k, c1b, gaw, gab = w
+    prec = _PRECISIONS[cfg.precision]
+    cdt = x4.dtype
+    dgaw = _dot_t_a(fw["a1"], dxg, prec)
+    dgab = _fsum(dxg, (0, 1, 2))
+    da1 = _dot(dxg, gaw.T, prec).astype(cdt)
+    ds1, dxin1 = _gate_bwd(cfg, fw["s1"], fw["xin1"], cfg.c0, da1)
+    dc1k, dc1b, dx4 = _tconv_bwd(x4, ds1, c1k, cfg.kt, prec)
+    dx4 = dx4 + _shift_pad_t(dxin1[..., : cfg.c_in], cfg.kt - 1, cfg.t_in)
+    return dict(dx4=dx4, dc1k=dc1k, dc1b=dc1b, dgaw=dgaw, dgab=dgab)
+
+
+def _tail_core(cfg, xg, terms, w):
+    """Weight contraction (+bias) → residual → ReLU → tconv2 → gate.
+    ``terms``: the graph outputs [T_1..] (cheb) or [G x] (graph_conv);
+    for cheb the contraction also includes T_0 = xg."""
+    gcw, gcb, c2k, c2b = w
+    prec = _PRECISIONS[cfg.precision]
+    cterms = ([xg] + list(terms) if cfg.graph_conv_type == "cheb_graph_conv"
+              else list(terms))
+    out = _dot(cterms[0], gcw[0], prec)
+    for k in range(1, len(cterms)):
+        out = out + _dot(cterms[k], gcw[k], prec)
+    gc = (out + gcb.astype(_F32)).astype(xg.dtype)
+    r = gc + xg
+    h = jnp.maximum(r, 0)
+    s2 = _tconv_fwd(h, c2k, c2b, cfg.kt, prec)
+    xin2 = _pad_channels(h[:, cfg.kt - 1:], cfg.c2)
+    a2 = _gate_fwd(cfg, s2, xin2, cfg.c2)
+    return dict(r=r, h=h, s2=s2, xin2=xin2, a2=a2, cterms=cterms)
+
+
+def _tail_core_bwd(cfg, xg, terms, w, fw, da2):
+    """Backward of `_tail_core`: returns dxg, dterms and weight grads."""
+    from stgcn_tpu.kernels.fused_stblock import _pos_mask
+
+    gcw, gcb, c2k, c2b = w
+    prec = _PRECISIONS[cfg.precision]
+    cdt = xg.dtype
+    ds2, dxin2 = _gate_bwd(cfg, fw["s2"], fw["xin2"], cfg.c2, da2)
+    dc2k, dc2b, dh = _tconv_bwd(fw["h"], ds2, c2k, cfg.kt, prec)
+    dh = dh + _shift_pad_t(dxin2[..., : cfg.c1], cfg.kt - 1, cfg.t1)
+    dr = dh * _pos_mask(fw["r"])
+    dgc = dr
+    cterms = fw["cterms"]
+    dgcw = jnp.stack([_dot_t_a(cterms[k], dgc, prec)
+                      for k in range(len(cterms))])
+    dgcb = _fsum(dgc, (0, 1, 2))
+    dcterms = [_dot(dgc, gcw[k].T, prec).astype(cdt)
+               for k in range(len(cterms))]
+    if cfg.graph_conv_type == "cheb_graph_conv":
+        dxg = dr + dcterms[0]
+        dterms = dcterms[1:]
+    else:
+        dxg = dr
+        dterms = dcterms
+    return dict(dxg=dxg, dterms=dterms, dgcw=dgcw, dgcb=dgcb,
+                dc2k=dc2k, dc2b=dc2b)
+
+
+def _drop_mask(cfg, seed, shape):
+    """Pre-scaled in-kernel keep mask, regenerated identically in the
+    backward (seeded by (seed, flat grid step) — Mosaic supports at most
+    two seed values)."""
+    pltpu.prng_seed(
+        seed, pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
+    thr = np.uint32(round(cfg.droprate * float(2 ** 32)))
+    inv_keep = 1.0 / (1.0 - cfg.droprate)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return ((bits >= thr).astype(_F32) * inv_keep).astype(
+        _BF16 if cfg.precision == "bfloat16" else _F32)
+
+
+def _vmask(cfg):
+    """[1, 1, tile_v, 1] f32 mask of true-vertex rows for this grid step.
+    The grid is ``(batch tiles, vertex tiles)`` — vertex index is dim 1."""
+    rows = pl.program_id(1) * cfg.tile_v + lax.broadcasted_iota(
+        jnp.int32, (cfg.tile_v, 1), 0)
+    return (rows < cfg.v_true).astype(_F32)[None, None, :, :]
+
+
+def _cdt_of(cfg):
+    return _BF16 if cfg.precision == "bfloat16" else _F32
+
+
+# --------------------------------------------------------------------------
+# head kernel: [LN-normalize + dropout →] tconv1 → gate → align
+# --------------------------------------------------------------------------
+
+def _make_head_fwd_kernel(cfg, b):
+    def kernel(seed_ref, *refs):
+        if cfg.apply_ln:
+            (x_ref, mu_ref, rstd_ref, lng_ref, lnb_ref,
+             c1k, c1b, gaw, gab, out_ref) = refs
+        else:
+            x_ref, c1k, c1b, gaw, gab, out_ref = refs
+        x4 = x_ref[...]
+        if cfg.apply_ln:
+            mask = None
+            if cfg.training and cfg.droprate > 0.0:
+                mask = _drop_mask(cfg, seed_ref[0], x4.shape)
+            x4 = _ln_drop_fwd(cfg, x4, mu_ref[...], rstd_ref[...],
+                              lng_ref[...], lnb_ref[...], mask)
+        fw = _head_core(cfg, x4, (c1k[...], c1b[...], gaw[...], gab[...]))
+        out_ref[...] = fw["xg"]
+
+    return kernel
+
+
+def _make_head_bwd_kernel(cfg, b):
+    def kernel(seed_ref, *refs):
+        if cfg.apply_ln:
+            (x_ref, mu_ref, rstd_ref, lng_ref, lnb_ref,
+             c1k, c1b, gaw, gab, gy_ref,
+             dx_ref, dmu_ref, drstd_ref, dlng_ref, dlnb_ref,
+             dc1k_ref, dc1b_ref, dgaw_ref, dgab_ref) = refs
+        else:
+            (x_ref, c1k, c1b, gaw, gab, gy_ref,
+             dx_ref, dc1k_ref, dc1b_ref, dgaw_ref, dgab_ref) = refs
+        w = (c1k[...], c1b[...], gaw[...], gab[...])
+        x4raw = x_ref[...]
+        mask = None
+        if cfg.apply_ln:
+            if cfg.training and cfg.droprate > 0.0:
+                mask = _drop_mask(cfg, seed_ref[0], x4raw.shape)
+            x4 = _ln_drop_fwd(cfg, x4raw, mu_ref[...], rstd_ref[...],
+                              lng_ref[...], lnb_ref[...], mask)
+        else:
+            x4 = x4raw
+        fw = _head_core(cfg, x4, w)
+        bw = _head_core_bwd(cfg, x4, w, fw, gy_ref[...])
+
+        if cfg.apply_ln:
+            dx, dmu, drstd, dlng, dlnb = _ln_drop_bwd(
+                cfg, x4raw, mu_ref[...], rstd_ref[...], lng_ref[...],
+                lnb_ref[...], mask, bw["dx4"])
+            dx_ref[...] = dx
+            # per-(batch tile) partials: a [tile_v] output block would be
+            # revisited NON-consecutively across batch tiles, which Mosaic
+            # does not re-fetch — the caller sums over the leading axis.
+            dlng_ref[...] = dlng[None]
+            dlnb_ref[...] = dlnb[None]
+
+            # dmu/drstd blocks are constant over the inner (vertex) grid
+            # dim, so accumulation across consecutive steps is safe.
+            @pl.when(pl.program_id(1) == 0)
+            def _init_stats():
+                dmu_ref[...] = jnp.zeros_like(dmu_ref)
+                drstd_ref[...] = jnp.zeros_like(drstd_ref)
+
+            dmu_ref[...] += dmu
+            drstd_ref[...] += drstd
+        else:
+            dx_ref[...] = bw["dx4"]
+
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+        def _init():
+            dc1k_ref[...] = jnp.zeros_like(dc1k_ref)
+            dc1b_ref[...] = jnp.zeros_like(dc1b_ref)
+            dgaw_ref[...] = jnp.zeros_like(dgaw_ref)
+            dgab_ref[...] = jnp.zeros_like(dgab_ref)
+
+        dc1k_ref[...] += bw["dc1k"]
+        dc1b_ref[...] += bw["dc1b"][None, :]
+        dgaw_ref[...] += bw["dgaw"]
+        dgab_ref[...] += bw["dgab"][None, :]
+
+    return kernel
+
+
+def _cspec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda *_: (0,) * nd)
+
+
+def _grid_of(cfg, b):
+    """(batch tiles, vertex tiles) — batch OUTER so that stat blocks
+    indexed by batch tile stay resident across the inner vertex sweep."""
+    bt = cfg.b_tile or b
+    if b % bt:
+        raise ValueError(f"batch {b} not a multiple of b_tile {bt}")
+    return bt, (b // bt, cfg.v_pad // cfg.tile_v)
+
+
+def _head_pallas(cfg, seed, x, ln, w):
+    b = x.shape[0]
+    bt, grid = _grid_of(cfg, b)
+    c1k, c1b, gaw, gab = w
+    in_specs = [pl.BlockSpec((bt, cfg.t_in, cfg.tile_v, cfg.c_in),
+                             lambda j, i, *_: (j, 0, i, 0))]
+    args = [x]
+    if cfg.apply_ln:
+        mu, rstd, lng, lnb = ln
+        in_specs += [pl.BlockSpec((bt, cfg.t_in, 1, 1),
+                                  lambda j, i, *_: (j, 0, 0, 0)),
+                     pl.BlockSpec((bt, cfg.t_in, 1, 1),
+                                  lambda j, i, *_: (j, 0, 0, 0)),
+                     pl.BlockSpec((cfg.tile_v, cfg.c_in),
+                                  lambda j, i, *_: (i, 0)),
+                     pl.BlockSpec((cfg.tile_v, cfg.c_in),
+                                  lambda j, i, *_: (i, 0))]
+        args += [mu, rstd, lng, lnb]
+    in_specs += [_cspec(c1k.shape), _cspec(c1b.shape),
+                 _cspec(gaw.shape), _cspec(gab.shape)]
+    args += [c1k, c1b, gaw, gab]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bt, cfg.t1, cfg.tile_v, cfg.c1),
+                               lambda j, i, *_: (j, 0, i, 0)),
+    )
+    return pl.pallas_call(
+        _make_head_fwd_kernel(cfg, bt),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, cfg.t1, cfg.v_pad, cfg.c1),
+                                       x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * cfg.v_pad * cfg.t1
+            * (cfg.kt * cfg.c_in * cfg.g1 + cfg.c0 * cfg.c1),
+            bytes_accessed=(x.size + b * cfg.t1 * cfg.v_pad * cfg.c1)
+            * x.dtype.itemsize,
+            transcendentals=b * cfg.t1 * cfg.v_pad * cfg.g1,
+        ),
+        compiler_params=_compiler_params(),
+        interpret=cfg.interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *args)
+
+
+def _head_pallas_bwd(cfg, seed, x, ln, w, gy):
+    b = x.shape[0]
+    bt, grid = _grid_of(cfg, b)
+    nbt = grid[0]
+    c1k, c1b, gaw, gab = w
+    in_specs = [pl.BlockSpec((bt, cfg.t_in, cfg.tile_v, cfg.c_in),
+                             lambda j, i, *_: (j, 0, i, 0))]
+    args = [x]
+    if cfg.apply_ln:
+        mu, rstd, lng, lnb = ln
+        in_specs += [pl.BlockSpec((bt, cfg.t_in, 1, 1),
+                                  lambda j, i, *_: (j, 0, 0, 0)),
+                     pl.BlockSpec((bt, cfg.t_in, 1, 1),
+                                  lambda j, i, *_: (j, 0, 0, 0)),
+                     pl.BlockSpec((cfg.tile_v, cfg.c_in),
+                                  lambda j, i, *_: (i, 0)),
+                     pl.BlockSpec((cfg.tile_v, cfg.c_in),
+                                  lambda j, i, *_: (i, 0))]
+        args += [mu, rstd, lng, lnb]
+    in_specs += [_cspec(c1k.shape), _cspec(c1b.shape),
+                 _cspec(gaw.shape), _cspec(gab.shape),
+                 pl.BlockSpec((bt, cfg.t1, cfg.tile_v, cfg.c1),
+                              lambda j, i, *_: (j, 0, i, 0))]
+    args += [c1k, c1b, gaw, gab, gy]
+
+    out_specs = [pl.BlockSpec((bt, cfg.t_in, cfg.tile_v, cfg.c_in),
+                              lambda j, i, *_: (j, 0, i, 0))]
+    out_shapes = [jax.ShapeDtypeStruct(x.shape, x.dtype)]
+    if cfg.apply_ln:
+        # dmu/drstd accumulate over the inner vertex sweep (block constant
+        # in i); dlng/dlnb are per-batch-tile partials summed by the caller
+        out_specs += [pl.BlockSpec((bt, cfg.t_in, 1, 1),
+                                   lambda j, i, *_: (j, 0, 0, 0)),
+                      pl.BlockSpec((bt, cfg.t_in, 1, 1),
+                                   lambda j, i, *_: (j, 0, 0, 0)),
+                      pl.BlockSpec((1, cfg.tile_v, cfg.c_in),
+                                   lambda j, i, *_: (j, i, 0)),
+                      pl.BlockSpec((1, cfg.tile_v, cfg.c_in),
+                                   lambda j, i, *_: (j, i, 0))]
+        out_shapes += [jax.ShapeDtypeStruct(ln[0].shape, _F32),
+                       jax.ShapeDtypeStruct(ln[1].shape, _F32),
+                       jax.ShapeDtypeStruct((nbt, cfg.v_pad, cfg.c_in),
+                                            _F32),
+                       jax.ShapeDtypeStruct((nbt, cfg.v_pad, cfg.c_in),
+                                            _F32)]
+    out_specs += [_cspec(c1k.shape), _cspec((1, cfg.g1)),
+                  _cspec(gaw.shape), _cspec((1, cfg.c1))]
+    out_shapes += [jax.ShapeDtypeStruct(c1k.shape, _F32),
+                   jax.ShapeDtypeStruct((1, cfg.g1), _F32),
+                   jax.ShapeDtypeStruct(gaw.shape, _F32),
+                   jax.ShapeDtypeStruct((1, cfg.c1), _F32)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=in_specs, out_specs=out_specs)
+    return pl.pallas_call(
+        _make_head_bwd_kernel(cfg, bt),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * cfg.v_pad * cfg.t1
+            * (cfg.kt * cfg.c_in * cfg.g1 + cfg.c0 * cfg.c1),
+            bytes_accessed=2 * (x.size + gy.size) * x.dtype.itemsize,
+            transcendentals=2 * b * cfg.t1 * cfg.v_pad * cfg.g1,
+        ),
+        compiler_params=_compiler_params(),
+        interpret=cfg.interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def head_fused(cfg, seed, x, mu, rstd, lng, lnb, c1k, c1b, gaw, gab):
+    """Fused block head on ``[B, T, V_pad, c_in]``; returns the graph
+    operand ``xg`` ``[B, T−kt+1, V_pad, c1]``. When ``cfg.apply_ln``, the
+    input is first normalized with the given stats (the previous block's
+    LayerNorm) and dropped out (reference order `model/layers.py:255-256`
+    — LN then dropout then next block)."""
+    ln = (mu, rstd, lng, lnb) if cfg.apply_ln else None
+    return _head_pallas(cfg, seed, x, ln, (c1k, c1b, gaw, gab))
+
+
+def _head_fused_fwd(cfg, seed, x, mu, rstd, lng, lnb, *w):
+    ln = (mu, rstd, lng, lnb)
+    y = _head_pallas(cfg, seed, x, ln if cfg.apply_ln else None, w)
+    return y, (seed, x, ln, w)
+
+
+def _head_fused_bwd(cfg, res, gy):
+    seed, x, ln, w = res
+    mu, rstd, lng, lnb = ln
+    outs = _head_pallas_bwd(cfg, seed, x, ln if cfg.apply_ln else None, w,
+                            gy.astype(x.dtype))
+    seed_bar = np.zeros((), jax.dtypes.float0)
+    if cfg.apply_ln:
+        (dx, dmu, drstd, dlng, dlnb, dc1k, dc1b, dgaw, dgab) = outs
+        dlng = jnp.sum(dlng, axis=0)  # over batch-tile partials
+        dlnb = jnp.sum(dlnb, axis=0)
+        return (seed_bar, dx, dmu.astype(mu.dtype), drstd.astype(rstd.dtype),
+                dlng.astype(lng.dtype), dlnb.astype(lnb.dtype),
+                dc1k.astype(w[0].dtype), dc1b[0].astype(w[1].dtype),
+                dgaw.astype(w[2].dtype), dgab[0].astype(w[3].dtype))
+    dx, dc1k, dc1b, dgaw, dgab = outs
+    return (seed_bar, dx, jnp.zeros_like(mu), jnp.zeros_like(rstd),
+            jnp.zeros_like(lng), jnp.zeros_like(lnb),
+            dc1k.astype(w[0].dtype), dc1b[0].astype(w[1].dtype),
+            dgaw.astype(w[2].dtype), dgab[0].astype(w[3].dtype))
+
+
+head_fused.defvjp(_head_fused_fwd, _head_fused_bwd)
+
+
+# --------------------------------------------------------------------------
+# tail kernel: contraction → residual → ReLU → tconv2 → gate → LN partials
+# --------------------------------------------------------------------------
+
+def _make_tail_fwd_kernel(cfg, b):
+    nt = cfg.n_terms
+
+    def kernel(seed_ref, *refs):
+        xg_ref = refs[0]
+        term_refs = refs[1:1 + nt]
+        gcw, gcb, c2k, c2b = refs[1 + nt:5 + nt]
+        a2_ref, ps_ref, pss_ref = refs[5 + nt:]
+        fw = _tail_core(cfg, xg_ref[...], [t[...] for t in term_refs],
+                        (gcw[...], gcb[...], c2k[...], c2b[...]))
+        a2 = fw["a2"]
+        a2_ref[...] = a2
+        vm = _vmask(cfg)
+        a32 = a2.astype(_F32) * vm
+        ps_ref[...] = _sum_vc(a32)[None]          # [1, B, T2, 1, 1]
+        pss_ref[...] = _sum_vc(a32 * a32)[None]
+
+    return kernel
+
+
+def _make_tail_bwd_kernel(cfg, b):
+    nt = cfg.n_terms
+
+    def kernel(seed_ref, *refs):
+        xg_ref = refs[0]
+        term_refs = refs[1:1 + nt]
+        gcw, gcb, c2k, c2b = refs[1 + nt:5 + nt]
+        ga2_ref, gps_ref, gpss_ref = refs[5 + nt:8 + nt]
+        dxg_ref = refs[8 + nt]
+        dterm_refs = refs[9 + nt:9 + 2 * nt]
+        (dgcw_ref, dgcb_ref, dc2k_ref, dc2b_ref) = refs[9 + 2 * nt:]
+        w = (gcw[...], gcb[...], c2k[...], c2b[...])
+        xg = xg_ref[...]
+        terms = [t[...] for t in term_refs]
+        fw = _tail_core(cfg, xg, terms, w)
+        # fold the LN-partial cotangents into da2 (masked to true rows):
+        # ps = Σ a2, pss = Σ a2² over (tile rows, c2) per (b, t2)
+        vm = _vmask(cfg)
+        da2 = (ga2_ref[...].astype(_F32)
+               + (gps_ref[...][0]
+                  + 2.0 * gpss_ref[...][0] * fw["a2"].astype(_F32))
+               * vm).astype(xg.dtype)
+        bw = _tail_core_bwd(cfg, xg, terms, w, fw, da2)
+        dxg_ref[...] = bw["dxg"]
+        for r, dt in zip(dterm_refs, bw["dterms"]):
+            r[...] = dt
+
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+        def _init():
+            dgcw_ref[...] = jnp.zeros_like(dgcw_ref)
+            dgcb_ref[...] = jnp.zeros_like(dgcb_ref)
+            dc2k_ref[...] = jnp.zeros_like(dc2k_ref)
+            dc2b_ref[...] = jnp.zeros_like(dc2b_ref)
+
+        dgcw_ref[...] += bw["dgcw"]
+        dgcb_ref[...] += bw["dgcb"][None, :]
+        dc2k_ref[...] += bw["dc2k"]
+        dc2b_ref[...] += bw["dc2b"][None, :]
+
+    return kernel
+
+
+def _tail_pallas(cfg, xg, terms, w):
+    b = xg.shape[0]
+    bt, grid = _grid_of(cfg, b)
+    nvb = grid[1]
+    gcw, gcb, c2k, c2b = w
+    vspec = pl.BlockSpec((bt, cfg.t1, cfg.tile_v, cfg.c1),
+                         lambda j, i, *_: (j, 0, i, 0))
+    in_specs = [vspec] + [vspec] * len(terms)
+    in_specs += [_cspec(gcw.shape), _cspec(gcb.shape),
+                 _cspec(c2k.shape), _cspec(c2b.shape)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((bt, cfg.t2, cfg.tile_v, cfg.c2),
+                         lambda j, i, *_: (j, 0, i, 0)),
+            pl.BlockSpec((1, bt, cfg.t2, 1, 1),
+                         lambda j, i, *_: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, bt, cfg.t2, 1, 1),
+                         lambda j, i, *_: (i, j, 0, 0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_tail_fwd_kernel(cfg, bt),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, cfg.t2, cfg.v_pad, cfg.c2), xg.dtype),
+            jax.ShapeDtypeStruct((nvb, b, cfg.t2, 1, 1), _F32),
+            jax.ShapeDtypeStruct((nvb, b, cfg.t2, 1, 1), _F32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * cfg.v_pad * cfg.t1
+            * ((cfg.n_terms + 1) * cfg.c1 * cfg.c1
+               + cfg.kt * cfg.c1 * cfg.g2),
+            bytes_accessed=((1 + len(terms)) * xg.size
+                            + b * cfg.t2 * cfg.v_pad * cfg.c2)
+            * xg.dtype.itemsize,
+            transcendentals=b * cfg.t2 * cfg.v_pad * cfg.g2,
+        ),
+        compiler_params=_compiler_params(),
+        interpret=cfg.interpret,
+    )(jnp.zeros((1,), jnp.int32), xg, *terms, gcw, gcb, c2k, c2b)
+
+
+def _tail_pallas_bwd(cfg, xg, terms, w, ga2, gps, gpss):
+    b = xg.shape[0]
+    bt, grid = _grid_of(cfg, b)
+    gcw, gcb, c2k, c2b = w
+    vspec = pl.BlockSpec((bt, cfg.t1, cfg.tile_v, cfg.c1),
+                         lambda j, i, *_: (j, 0, i, 0))
+    pspec = pl.BlockSpec((1, bt, cfg.t2, 1, 1),
+                         lambda j, i, *_: (i, j, 0, 0, 0))
+    in_specs = [vspec] + [vspec] * len(terms)
+    in_specs += [_cspec(gcw.shape), _cspec(gcb.shape),
+                 _cspec(c2k.shape), _cspec(c2b.shape),
+                 pl.BlockSpec((bt, cfg.t2, cfg.tile_v, cfg.c2),
+                              lambda j, i, *_: (j, 0, i, 0)),
+                 pspec, pspec]
+    out_specs = [vspec] + [vspec] * len(terms)
+    out_shapes = [jax.ShapeDtypeStruct(xg.shape, xg.dtype)] * (1 + len(terms))
+    out_specs += [_cspec(gcw.shape), _cspec((1, cfg.c1)),
+                  _cspec(c2k.shape), _cspec((1, cfg.g2))]
+    out_shapes += [jax.ShapeDtypeStruct(gcw.shape, _F32),
+                   jax.ShapeDtypeStruct((1, cfg.c1), _F32),
+                   jax.ShapeDtypeStruct(c2k.shape, _F32),
+                   jax.ShapeDtypeStruct((1, cfg.g2), _F32)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=in_specs, out_specs=out_specs)
+    return pl.pallas_call(
+        _make_tail_bwd_kernel(cfg, bt),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * cfg.v_pad * cfg.t1
+            * ((cfg.n_terms + 1) * cfg.c1 * cfg.c1
+               + cfg.kt * cfg.c1 * cfg.g2),
+            bytes_accessed=2 * ((2 + 2 * len(terms)) * xg.size
+                               + 2 * ga2.size) * xg.dtype.itemsize,
+            transcendentals=2 * b * cfg.t2 * cfg.v_pad * cfg.g2,
+        ),
+        compiler_params=_compiler_params(),
+        interpret=cfg.interpret,
+    )(jnp.zeros((1,), jnp.int32), xg, *terms, gcw, gcb, c2k, c2b,
+      ga2, gps, gpss)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def tail_fused(cfg, xg, t_a, t_b, gcw, gcb, c2k, c2b):
+    """Fused block tail. ``t_a``/``t_b``: the graph outputs (``t_b`` is
+    ignored when only one term exists — pass ``t_a`` again). Returns
+    ``(a2 [B, T2, V_pad, c2], psum [nvb, B, T2], psumsq [nvb, B, T2])`` —
+    the pre-LN activation plus masked per-tile LayerNorm partials."""
+    terms = [t_a, t_b][: cfg.n_terms]
+    return _tail_pallas(cfg, xg, terms, (gcw, gcb, c2k, c2b))
+
+
+def _tail_fused_fwd(cfg, xg, t_a, t_b, *w):
+    terms = [t_a, t_b][: cfg.n_terms]
+    outs = _tail_pallas(cfg, xg, terms, w)
+    return outs, (xg, terms, w)
+
+
+def _tail_fused_bwd(cfg, res, gs):
+    xg, terms, w = res
+    ga2, gps, gpss = gs
+    outs = _tail_pallas_bwd(cfg, xg, terms, w, ga2.astype(xg.dtype),
+                            gps.astype(_F32), gpss.astype(_F32))
+    dxg = outs[0]
+    dterms = list(outs[1:1 + cfg.n_terms])
+    dgcw, dgcb, dc2k, dc2b = outs[1 + cfg.n_terms:]
+    while len(dterms) < 2:
+        dterms.append(jnp.zeros_like(xg))
+    return (dxg, dterms[0], dterms[1],
+            dgcw.astype(w[0].dtype), dgcb[0].astype(w[1].dtype),
+            dc2k.astype(w[2].dtype), dc2b[0].astype(w[3].dtype))
+
+
+tail_fused.defvjp(_tail_fused_fwd, _tail_fused_bwd)
+
+
+# --------------------------------------------------------------------------
+# pure-jnp reference (CPU oracle; differentiable via autodiff)
+# --------------------------------------------------------------------------
+
+def head_reference(cfg, x, ln, w, drop_mask=None):
+    """Whole-array jnp mirror of `head_fused` (drop_mask pre-scaled)."""
+    if cfg.apply_ln:
+        mu, rstd, lng, lnb = ln
+        x = _ln_drop_fwd(cfg, x, mu, rstd, lng, lnb, drop_mask)
+    return _head_core(cfg, x, w)["xg"]
+
+
+def tail_reference(cfg, xg, terms, w):
+    """Whole-array jnp mirror of `tail_fused`."""
+    fw = _tail_core(cfg, xg, terms, w)
+    a2 = fw["a2"]
+    vm = (jnp.arange(cfg.v_pad)[:, None] < cfg.v_true).astype(_F32)
+    a32 = a2.astype(_F32) * vm
+    ps = jnp.sum(a32, axis=(2, 3), keepdims=True)[None]
+    pss = jnp.sum(a32 * a32, axis=(2, 3), keepdims=True)[None]
+    return a2, ps, pss

@@ -1,0 +1,243 @@
+"""Vertex-fused forward for the sparse (large-V) path.
+
+A functional apply over the same flax param pytree the unfused
+:class:`~stgcn_tpu.nn.model.STGCN` trains — checkpoints are
+interchangeable. Each ST-Conv block runs as TWO vertex-tiled Pallas
+kernels around the existing sparse graph kernels
+(:mod:`stgcn_tpu.kernels.vertex_fused`):
+
+    head (prev-LN-normalize + dropout → tconv1 → gate → align)
+      → graph aggregation (banded/ELL SpMM or fused Chebyshev pair)
+      → tail (contraction → residual → ReLU → tconv2 → gate + LN partials)
+
+so between ST blocks no full-size ``[B, T, V, C]`` activation crosses
+HBM more than once per direction — at 100k vertices the unfused step is
+dominated by exactly that elementwise traffic (ROADMAP.md). The output
+head (`model/layers.py:260-284`) stays in XLA, reusing
+:func:`stgcn_tpu.nn.fused._output_block_apply`.
+
+The kernels tile ``(batch, vertices)``; the batch tile is auto-sized to
+the kernels' scoped-VMEM budget (:func:`vertex_fused.pick_b_tile`) and
+the batch is zero-padded to a tile multiple (padded rows carry zero
+cotangents, so weight gradients are unaffected). With ``remat=True``
+(default: ``model.remat``) each ST block is wrapped in
+``jax.checkpoint`` — at 100k vertices the per-block custom-VJP
+residuals otherwise hold many GB of HBM, just like the unfused model's
+``nn.remat`` blocks (`nn/model.py:65-90`).
+
+Dropout inside the heads uses the on-core PRNG (block-seeded from the
+step rng); trajectories therefore differ bitwise from the unfused path
+(as any two mask sources do) while matching in distribution.
+Deterministic-mode outputs match the unfused model to float tolerance
+(tests/test_vertex_fused.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from stgcn_tpu.kernels.fused_stblock import _round_up
+from stgcn_tpu.kernels.vertex_fused import (
+    VertexBlockCfg,
+    head_fused,
+    pick_b_tile,
+    tail_fused,
+)
+from stgcn_tpu.nn.fused import _output_block_apply
+from stgcn_tpu.nn.model import STGCN
+
+
+def _st_block(cfg: VertexBlockCfg, gop: Any, seed, head_in, mu, rstd,
+              lng_p, lnb_p, w):
+    """One ST block: head kernel → graph aggregation → tail kernel.
+    A standalone function (cfg static, everything else pytree args) so it
+    can be wrapped in ``jax.checkpoint``."""
+    c1k, c1b, gaw, gab, gcw, gcb, c2k, c2b = w
+    xg = head_fused(cfg, seed, head_in, mu, rstd, lng_p, lnb_p,
+                    c1k, c1b, gaw, gab)
+    if cfg.graph_conv_type == "graph_conv":
+        t_a = t_b = gop(xg)
+    elif cfg.ks == 1:
+        t_a = t_b = xg  # contraction uses T_0 only
+    elif cfg.ks == 2:
+        t_a = t_b = gop(xg)
+    else:  # ks == 3
+        if hasattr(gop, "cheb_pair"):
+            t_a, t_b = gop.cheb_pair(xg)
+        else:
+            t_a = gop(xg)
+            t_b = gop(t_a, scale=2.0) - xg
+    return tail_fused(cfg, xg, t_a, t_b, gcw, gcb, c2k, c2b)
+
+
+def _block_weights(blk: dict, graph_conv_type: str):
+    c1k = jnp.squeeze(blk["tmp_conv1"]["causal_conv"]["kernel"], axis=1)
+    c1b = blk["tmp_conv1"]["causal_conv"]["bias"]
+    gaw = blk["graph_conv"]["align"]["align_conv"]["kernel"]
+    gab = blk["graph_conv"]["align"]["align_conv"]["bias"]
+    if graph_conv_type == "cheb_graph_conv":
+        gcw = blk["graph_conv"]["cheb_graph_conv"]["weight"]
+        gcb = blk["graph_conv"]["cheb_graph_conv"]["bias"]
+    else:
+        gcw = blk["graph_conv"]["graph_conv"]["weight"][None]
+        gcb = blk["graph_conv"]["graph_conv"]["bias"]
+    c2k = jnp.squeeze(blk["tmp_conv2"]["causal_conv"]["kernel"], axis=1)
+    c2b = blk["tmp_conv2"]["causal_conv"]["bias"]
+    lng = blk["ln"]["scale"]
+    lnb = blk["ln"]["bias"]
+    return c1k, c1b, gaw, gab, gcw, gcb, c2k, c2b, lng, lnb
+
+
+def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
+                         *, deterministic: bool = True,
+                         rng: jax.Array | None = None,
+                         tile_v: int = 128,
+                         b_tile: int | None = None,
+                         remat: bool | None = None,
+                         precision: str = "auto",
+                         use_pallas: bool | None = None,
+                         interpret: bool = False) -> jax.Array:
+    """Forward pass with vertex-fused ST-block kernels.
+
+    ``gop`` must expose ``v_pad`` (banded) or ``n_vertex_pad`` (BCSR) —
+    a 128-aligned padded vertex count; dense operators should use
+    :func:`stgcn_tpu.nn.fused.fused_forward` instead. Supports the CLI
+    surface: ``Ks ∈ {1, 2, 3}`` (cheb) and 1st-order graph_conv.
+    """
+    blocks, ko = model._plan()
+    n_st = len(blocks) - 3
+    v_true = x.shape[2]
+    b_in = x.shape[0]
+    gv = getattr(gop, "v_pad", None) or getattr(gop, "n_vertex_pad", None)
+    if gv is None:
+        raise ValueError("fused_sparse_forward needs a padded sparse graph "
+                         "operator (banded/bcsr); use nn.fused for dense")
+    if model.graph_conv_type == "cheb_graph_conv" and model.ks > 3:
+        raise NotImplementedError("vertex-fused path supports Ks <= 3")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" or bool(interpret)
+    if not use_pallas:
+        # CPU / oracle path: the unfused model is the exact same math
+        rngs = None if (deterministic or rng is None) else {"dropout": rng}
+        return model.apply({"params": params}, x, gop,
+                           deterministic=deterministic, rngs=rngs)
+    v_pad = _round_up(gv, tile_v)
+    if precision == "auto":
+        precision = "bfloat16" if model.dtype == jnp.bfloat16 else "default"
+    cdt = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    if remat is None:
+        remat = model.remat
+
+    training = (not deterministic) and model.droprate > 0.0
+    if training:
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        seeds = jax.random.randint(rng, (n_st + 1,), 0,
+                                   jnp.iinfo(jnp.int32).max)
+        out_rng = jax.random.fold_in(rng, 0x0FF5E7)
+        drop_rng = jax.random.fold_in(rng, 0xD409)
+    else:
+        seeds = jnp.zeros((n_st + 1,), jnp.int32)
+        out_rng = drop_rng = None
+
+    x = x.astype(cdt)
+    if x.shape[2] != v_pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, v_pad - x.shape[2]), (0, 0)))
+
+    # prepass: static per-block configs, then one shared batch tile
+    # (Mosaic can't lower the backward's N=1 matmul → c_in floors at 8)
+    cfgs = []
+    cur_t = model.n_his
+    c_in = max(x.shape[-1], 8)
+    for l in range(n_st):
+        c0, c1, c2 = blocks[l + 1]
+        cfgs.append(VertexBlockCfg(
+            kt=model.kt, ks=model.ks, act_func=model.act_func,
+            graph_conv_type=model.graph_conv_type, droprate=model.droprate,
+            v_true=v_true, v_pad=v_pad, t_in=cur_t, c_in=c_in,
+            c0=c0, c1=c1, c2=c2, tile_v=tile_v,
+            apply_ln=(l > 0), training=training,
+            interpret=interpret, precision=precision))
+        cur_t = cfgs[-1].t2
+        c_in = max(c2, 8)
+    if b_tile is None:
+        b_tile = min(pick_b_tile(c, b_in) for c in cfgs)
+    cfgs = [dataclasses.replace(c, b_tile=b_tile) for c in cfgs]
+    b = -(-b_in // b_tile) * b_tile
+    if b != b_in:
+        x = jnp.pad(x, ((0, b - b_in), (0, 0), (0, 0), (0, 0)))
+
+    blk_fn = _st_block
+    if remat:
+        blk_fn = jax.checkpoint(_st_block, static_argnums=(0,))
+
+    state = None  # (a2, mu, rstd, lng_pad, lnb_pad) awaiting normalize
+    for l in range(n_st):
+        cfg = cfgs[l]
+        c1k, c1b, gaw, gab, gcw, gcb, c2k, c2b, lng, lnb = _block_weights(
+            params[f"st_block_{l}"], model.graph_conv_type)
+
+        if l == 0:
+            # stats stay 4D keepdims end-to-end (Mosaic layout constraint,
+            # see kernels/vertex_fused._ln_drop_fwd)
+            mu = jnp.zeros((b, cfg.t_in, 1, 1), jnp.float32)
+            rstd = jnp.ones((b, cfg.t_in, 1, 1), jnp.float32)
+            lng_p = jnp.ones((v_pad, cfg.c_in), jnp.float32)
+            lnb_p = jnp.zeros((v_pad, cfg.c_in), jnp.float32)
+            head_in = x
+        else:
+            a2_prev, mu, rstd, lng_p, lnb_p = state
+            head_in = a2_prev
+
+        if head_in.shape[-1] < cfg.c_in:  # channel floor (see prepass)
+            pad_c = cfg.c_in - head_in.shape[-1]
+            head_in = jnp.pad(
+                head_in, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+            c1k = jnp.pad(c1k, ((0, 0), (0, pad_c), (0, 0)))
+            lng_p = jnp.pad(lng_p, ((0, 0), (0, pad_c)))
+            lnb_p = jnp.pad(lnb_p, ((0, 0), (0, pad_c)))
+
+        w = (c1k.astype(cdt), c1b.astype(jnp.float32),
+             gaw.astype(cdt), gab.astype(jnp.float32),
+             gcw.astype(cdt), gcb.astype(jnp.float32),
+             c2k.astype(cdt), c2b.astype(jnp.float32))
+        a2, ps, pss = blk_fn(cfg, gop, seeds[l], head_in, mu, rstd,
+                             lng_p, lnb_p, w)
+
+        denom = float(v_true * cfg.c2)
+        mu = jnp.sum(ps, axis=0) / denom                     # [B, T2, 1, 1]
+        var = jnp.sum(pss, axis=0) / denom - mu * mu
+        rstd = lax.rsqrt(jnp.maximum(var, 0.0) + 1e-12)
+        pad_v = ((0, v_pad - v_true), (0, 0))
+        state = (a2, mu, rstd,
+                 jnp.pad(lng.astype(jnp.float32), pad_v),
+                 jnp.pad(lnb.astype(jnp.float32), pad_v))
+
+    # final block's LayerNorm normalize + dropout in XLA (one fused pass)
+    a2, mu, rstd, lng_p, lnb_p = state
+    y = (a2.astype(jnp.float32) - mu) * rstd * lng_p + lnb_p
+    y = y.astype(cdt)
+    if training:
+        keep = jax.random.bernoulli(drop_rng, 1.0 - model.droprate, y.shape)
+        y = jnp.where(keep, y / (1.0 - model.droprate), 0.0).astype(cdt)
+    y = y[:b_in, :, :v_true, :]
+
+    if ko > 1:
+        prec = (lax.Precision.HIGHEST if precision == "highest" else None)
+        out = _output_block_apply(params["output"], y, v_true,
+                                  act_func=model.act_func,
+                                  droprate=model.droprate,
+                                  deterministic=deterministic, rng=out_rng,
+                                  prec=prec)
+    else:  # ko == 0 — inline fc head (`models.py:38-42,48-51`)
+        a = jnp.einsum("btvc,cd->btvd", y, params["fc1"]["kernel"]) \
+            + params["fc1"]["bias"]
+        a = jax.nn.relu(a)
+        out = jnp.einsum("btvc,cd->btvd", a, params["fc2"]["kernel"]) \
+            + params["fc2"]["bias"]
+    return out.astype(jnp.float32)

@@ -136,14 +136,26 @@ class Trainer:
         cfg, model, gop = self.cfg, self.model, self.gop
 
         if cfg.fused:
-            from stgcn_tpu.nn.fused import fused_forward
+            # mixed-precision training maps to the kernels' bf16 internals
+            # (bf16 storage/MXU operands, f32 accumulation + LN statistics)
+            fused_prec = ("bfloat16" if cfg.compute_dtype == "bfloat16"
+                          else "default")
+            if hasattr(gop, "matrix"):
+                from stgcn_tpu.nn.fused import fused_forward
 
-            if not hasattr(gop, "matrix"):
-                raise ValueError("fused=True requires a dense graph operator")
+                def apply_fn(g, params, x, *, deterministic, rng=None):
+                    return fused_forward(params, x, g, model,
+                                         deterministic=deterministic,
+                                         rng=rng, precision=fused_prec)
+            else:
+                # sparse operators route through the vertex-tiled fused
+                # blocks (LN/gates fused around the banded/ELL SpMM)
+                from stgcn_tpu.nn.fused_sparse import fused_sparse_forward
 
-            def apply_fn(g, params, x, *, deterministic, rng=None):
-                return fused_forward(params, x, g, model,
-                                     deterministic=deterministic, rng=rng)
+                def apply_fn(g, params, x, *, deterministic, rng=None):
+                    return fused_sparse_forward(
+                        params, x, g, model, deterministic=deterministic,
+                        rng=rng, precision=fused_prec)
         else:
             def apply_fn(g, params, x, *, deterministic, rng=None):
                 rngs = None if rng is None else {"dropout": rng}

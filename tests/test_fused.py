@@ -2,6 +2,7 @@
 mode). Real-TPU parity is covered by tests/test_kernels_tpu.py."""
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -69,6 +70,51 @@ def test_backward_matches_autodiff(act, gct):
                                                          rtol=1e-3),
                  gp_r, gp_f)
     np.testing.assert_allclose(gx_r, gx_f, atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("act", ["glu", "gtu", "relu", "silu"])
+@pytest.mark.parametrize("gct", ["cheb_graph_conv", "graph_conv"])
+def test_bf16_forward_close(act, gct):
+    """precision='bfloat16' (bf16 storage/MXU operands, f32 accumulation +
+    LN statistics) tracks the f32 reference to bf16 rounding tolerance on
+    both the jnp and the Pallas-interpret path."""
+    blk, gop, gso, x, params = _setup(act, gct)
+    y_ref = blk.apply({"params": params}, x, gop, deterministic=True)
+    kw = dict(kt=KT, ks=KS, act_func=act, graph_conv_type=gct,
+              droprate=0.5, deterministic=True, precision="bfloat16")
+    y_jnp = fused_st_block(x, gso, params, use_pallas=False, **kw)
+    assert y_jnp.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y_jnp, np.float32), y_ref,
+                               atol=0.08, rtol=0.05)
+    y_pal = fused_st_block(x, gso, params, interpret=True, use_pallas=True,
+                           **kw)
+    np.testing.assert_allclose(np.asarray(y_pal, np.float32), y_ref,
+                               atol=0.08, rtol=0.05)
+
+
+def test_bf16_backward_close():
+    """bf16 hand-written backward tracks f32 autodiff in relative norm."""
+    blk, gop, gso, x, params = _setup("glu", "cheb_graph_conv")
+
+    def loss_ref(p, xx):
+        y = blk.apply({"params": p}, xx, gop, deterministic=True)
+        return jnp.sum(y * jnp.cos(y))
+
+    def loss_bf16(p, xx):
+        y = fused_st_block(xx, gso, p, kt=KT, ks=KS, act_func="glu",
+                           graph_conv_type="cheb_graph_conv", droprate=0.5,
+                           deterministic=True, interpret=True,
+                           use_pallas=True, precision="bfloat16")
+        return jnp.sum(y.astype(jnp.float32)
+                       * jnp.cos(y.astype(jnp.float32)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    gb = jax.grad(loss_bf16, argnums=(0, 1))(params, x)
+    fr, _ = jax.flatten_util.ravel_pytree(gr)
+    fb, _ = jax.flatten_util.ravel_pytree(gb)
+    rel = float(jnp.linalg.norm(fb.astype(jnp.float32) - fr)
+                / (jnp.linalg.norm(fr) + 1e-12))
+    assert rel < 0.03, rel
 
 
 def test_batch_tile_padding():

@@ -270,3 +270,55 @@ def test_banded_int8_on_tpu(tpu_setup):
     rel = float(jnp.abs(y[: s["n"]] - jnp.asarray(expect, jnp.float32)).max()) \
         / (abs(expect).max() + 1e-9)
     assert rel < 0.02
+
+
+def test_vertex_fused_on_tpu(tpu_setup):
+    """Vertex-fused sparse path on real TPU: deterministic parity vs the
+    unfused model, and in-kernel PRNG dropout statistics (the CPU
+    interpreter's prng stub can't check these)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.nn.fused_sparse import fused_sparse_forward
+    from stgcn_tpu.nn.model import STGCN
+    from stgcn_tpu.ops.graph_op import banded_graph_op
+
+    s = tpu_setup
+    art = dataclasses.replace(
+        s["art"], matrix=permute_matrix(s["art"].matrix,
+                                        rcm_ordering(s["art"].matrix)))
+    gop = banded_graph_op(art, block_size=128)
+    model = STGCN(n_his=12)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, 12, s["n"], 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, gop,
+                        deterministic=True)["params"]
+    y_ref = jax.jit(lambda p, xx: model.apply(
+        {"params": p}, xx, gop, deterministic=True))(params, x)
+    y_f = jax.jit(lambda p, xx: fused_sparse_forward(
+        p, xx, gop, model, deterministic=True))(params, x)
+    err = float(jnp.abs(y_f - y_ref).max())
+    assert err < 2e-4, err
+
+    # dropout statistics: hidden-layer masks come from the on-core PRNG
+    y_tr = jax.jit(lambda p, xx: fused_sparse_forward(
+        p, xx, gop, model, deterministic=False,
+        rng=jax.random.PRNGKey(5)))(params, x)
+    assert bool(jnp.all(jnp.isfinite(y_tr)))
+    ratio = float(jnp.mean(jnp.abs(y_tr)) / (jnp.mean(jnp.abs(y_ref)) + 1e-9))
+    assert 0.3 < ratio < 3.0, ratio
+
+    # grads run end-to-end on hardware
+    def loss(p):
+        y = fused_sparse_forward(p, x, gop, model, deterministic=False,
+                                 rng=jax.random.PRNGKey(5))
+        return jnp.mean(y ** 2)
+
+    g = jax.jit(jax.grad(loss))(params)
+    import jax.flatten_util
+
+    flat, _ = jax.flatten_util.ravel_pytree(g)
+    assert bool(jnp.all(jnp.isfinite(flat)))

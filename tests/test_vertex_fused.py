@@ -1,0 +1,150 @@
+"""Vertex-tiled fused sparse-path tests (CPU: Pallas interpret mode +
+banded reference ops). Real-TPU perf/parity is covered by
+scripts/bench_100k.py and tests/test_kernels_tpu.py."""
+
+import dataclasses
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from stgcn_tpu.data.synthetic import random_road_graph
+from stgcn_tpu.graph import build_gso
+from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+from stgcn_tpu.nn.fused_sparse import fused_sparse_forward
+from stgcn_tpu.nn.model import STGCN
+from stgcn_tpu.ops.graph_op import banded_graph_op
+
+V, B, T = 150, 3, 12
+
+
+def _setup(gct="cheb_graph_conv", ks=3, act="glu", n_his=T, seed=0):
+    adj = random_road_graph(V, k_neighbors=4, seed=seed)
+    art = build_gso(adj, "sym_norm_lap", cheb=(gct == "cheb_graph_conv"))
+    art = dataclasses.replace(
+        art, matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)))
+    gop = banded_graph_op(art, block_size=128, use_pallas=False)
+    model = STGCN(n_his=n_his, ks=ks, graph_conv_type=gct, act_func=act)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((B, n_his, V, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(3), x, gop,
+                        deterministic=True)["params"]
+    return model, gop, x, params
+
+
+@pytest.mark.parametrize("gct,ks,act", [
+    ("cheb_graph_conv", 3, "glu"),
+    ("cheb_graph_conv", 2, "gtu"),
+    ("cheb_graph_conv", 1, "glu"),
+    ("graph_conv", 3, "silu"),
+])
+def test_forward_parity(gct, ks, act):
+    model, gop, x, params = _setup(gct, ks, act)
+    y_ref = model.apply({"params": params}, x, gop, deterministic=True)
+    y_f = fused_sparse_forward(params, x, gop, model, deterministic=True,
+                               interpret=True)
+    np.testing.assert_allclose(y_f, y_ref, atol=2e-4, rtol=2e-4)
+
+
+def test_backward_matches_autodiff():
+    """Hand-written head/tail VJPs + LN-stat stitching equal JAX autodiff
+    of the unfused model (deterministic, nontrivial cotangent)."""
+    model, gop, x, params = _setup()
+
+    def loss_ref(p, xx):
+        y = model.apply({"params": p}, xx, gop, deterministic=True)
+        return jnp.sum(y * jnp.cos(y))
+
+    def loss_fused(p, xx):
+        y = fused_sparse_forward(p, xx, gop, model, deterministic=True,
+                                 interpret=True)
+        return jnp.sum(y * jnp.cos(y))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    gf = jax.grad(loss_fused, argnums=(0, 1))(params, x)
+    fr, _ = jax.flatten_util.ravel_pytree(gr)
+    ff, _ = jax.flatten_util.ravel_pytree(gf)
+    rel = float(jnp.linalg.norm(ff - fr) / (jnp.linalg.norm(fr) + 1e-12))
+    assert rel < 1e-4, rel
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=2e-4,
+                                                         rtol=2e-3),
+                 gr[0], gf[0])
+
+
+def test_training_mode_dropout():
+    """Training mode runs end-to-end (fwd + grads finite, output differs
+    from deterministic). The CPU HLO interpreter lacks the on-core PRNG,
+    so this uses the Mosaic TPU interpreter — whose prng stub returns
+    zero bits (mask ≡ drop); mask *statistics* are asserted on real TPU
+    (tests/test_kernels_tpu.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    ip = pltpu.InterpretParams()
+    model, gop, x, params = _setup()
+    y_det = fused_sparse_forward(params, x, gop, model, deterministic=True,
+                                 interpret=ip)
+    y_tr = fused_sparse_forward(params, x, gop, model, deterministic=False,
+                                rng=jax.random.PRNGKey(5), interpret=ip)
+    assert np.all(np.isfinite(y_tr))
+    assert float(jnp.max(jnp.abs(y_tr - y_det))) > 1e-6
+
+    def loss(p):
+        y = fused_sparse_forward(p, x, gop, model, deterministic=False,
+                                 rng=jax.random.PRNGKey(5), interpret=ip)
+        return jnp.mean(y ** 2)
+
+    g = jax.grad(loss)(params)
+    flat, _ = jax.flatten_util.ravel_pytree(g)
+    assert np.all(np.isfinite(flat))
+
+
+@pytest.mark.parametrize("b_tile", [1, 2])
+def test_batch_tiling_and_padding(b_tile):
+    """Explicit batch tiles — including B=3 % b_tile=2 (zero-padded rows)
+    — must not change outputs or gradients vs the whole-batch kernels."""
+    model, gop, x, params = _setup()
+    y_whole = fused_sparse_forward(params, x, gop, model, deterministic=True,
+                                   interpret=True)
+    y_tiled = fused_sparse_forward(params, x, gop, model, deterministic=True,
+                                   interpret=True, b_tile=b_tile)
+    np.testing.assert_allclose(y_tiled, y_whole, atol=1e-5, rtol=1e-5)
+
+    def loss(p, bt):
+        y = fused_sparse_forward(p, x, gop, model, deterministic=True,
+                                 interpret=True, b_tile=bt)
+        return jnp.sum(y * jnp.cos(y))
+
+    gw = jax.grad(lambda p: loss(p, None))(params)
+    gt = jax.grad(lambda p: loss(p, b_tile))(params)
+    jax.tree.map(lambda a_, b_: np.testing.assert_allclose(
+        a_, b_, atol=2e-5, rtol=2e-4), gw, gt)
+
+
+def test_remat_matches_unremat():
+    """jax.checkpoint-wrapped blocks give identical values and grads."""
+    model, gop, x, params = _setup()
+
+    def loss(p, rm):
+        y = fused_sparse_forward(p, x, gop, model, deterministic=True,
+                                 interpret=True, remat=rm)
+        return jnp.sum(y * jnp.cos(y))
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    assert abs(float(l0 - l1)) < 1e-6
+    jax.tree.map(lambda a_, b_: np.testing.assert_allclose(
+        a_, b_, atol=1e-6, rtol=1e-6), g0, g1)
+
+
+def test_bf16_forward_close():
+    """bf16 compute tracks the f32 reference to bf16 tolerance."""
+    model, gop, x, params = _setup()
+    y_ref = model.apply({"params": params}, x, gop, deterministic=True)
+    model_bf = STGCN(n_his=T, dtype=jnp.bfloat16)
+    y_f = fused_sparse_forward(params, x, gop, model_bf, deterministic=True,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(y_f, np.float32), y_ref,
+                               atol=0.1, rtol=0.05)
