@@ -187,6 +187,83 @@ def bench_spmm(n_vertex=100_000, k_neighbors=8, n_feat=128, measure=300):
     return res
 
 
+def bench_train_100k(n_vertex=100_000, batch=8, reps=8):
+    """End-to-end 100k-vertex training step (BASELINE configs[3] scale,
+    single chip): banded bf16 + cheb-pair + remat, unfused vs the
+    vertex-fused ST-block path (kernels/vertex_fused.py)."""
+    import dataclasses
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from stgcn_tpu.data.synthetic import random_road_graph
+    from stgcn_tpu.graph import build_gso
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.nn.fused_sparse import fused_sparse_forward
+    from stgcn_tpu.nn.model import STGCN
+    from stgcn_tpu.ops.graph_op import make_graph_op
+    from stgcn_tpu.utils.timing import device_sync
+
+    t0 = time.time()
+    adj = random_road_graph(n_vertex, k_neighbors=8, seed=0)
+    art = build_gso(adj, "sym_norm_lap", cheb=True)
+    art = dataclasses.replace(
+        art, matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)))
+    gop = make_graph_op(art, "banded", banded_block_size=512,
+                        dtype=jnp.bfloat16)
+    model = STGCN(n_his=12, dtype=jnp.bfloat16, remat=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, 12, n_vertex, 1)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x[:1], gop,
+                        deterministic=True)["params"]
+    log(f"[100k] prep {time.time() - t0:.1f}s")
+    tx = optax.adamw(1e-3, weight_decay=1e-3)
+    key = jax.random.PRNGKey(7)
+
+    def measure(apply_fn):
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(p, s, g, xx, r):
+            def loss(pp):
+                pred = apply_fn(pp, g, xx, r)
+                return jnp.mean(pred.astype(jnp.float32) ** 2)
+            l, grads = jax.value_and_grad(loss)(p)
+            up, s2 = tx.update(grads, s, p)
+            return optax.apply_updates(p, up), s2, l
+
+        p, s = params, tx.init(params)
+        p, s, l = step(p, s, gop, x, key)
+        device_sync(l)
+        t0 = time.time()
+        for _ in range(reps):
+            p, s, l = step(p, s, gop, x, key)
+        device_sync(l)
+        return (time.time() - t0) / reps
+
+    def unfused(p, g, xx, r):
+        return model.apply({"params": p}, xx, g, deterministic=False,
+                           rngs={"dropout": r})
+
+    def fused(p, g, xx, r):
+        return fused_sparse_forward(p, xx, g, model, deterministic=False,
+                                    rng=r)
+
+    res = {"n_vertex": n_vertex, "batch": batch}
+    for name, fn in (("unfused", unfused), ("fused", fused)):
+        try:
+            dt = measure(fn)
+            res[f"{name}_step_s"] = dt
+            res[f"{name}_samples_per_s"] = batch / dt
+            log(f"[100k] {name}: {dt * 1e3:.1f} ms/step "
+                f"({batch / dt:.1f} samples/s)")
+        except Exception as e:
+            log(f"[100k] {name} failed: {type(e).__name__}: {e}")
+            res[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+    return res
+
+
 def bench_scaling(n_vertex=100_000, parts=(1, 2, 4, 8), reps=2,
                   timeout_s=1800):
     """Edges/s scaling of the boundary-halo sharded SpMM on a virtual
@@ -270,6 +347,7 @@ def main():
     ap.add_argument("--skip-spmm", action="store_true")
     ap.add_argument("--skip-torch", action="store_true")
     ap.add_argument("--skip-scaling", action="store_true")
+    ap.add_argument("--skip-100k", action="store_true")
     ap.add_argument("--spmm-vertices", type=int, default=100_000)
     args = ap.parse_args()
 
@@ -279,6 +357,7 @@ def main():
                                          measure_epochs=2,
                                          compute_dtype="bfloat16")
     spmm = None if args.skip_spmm else bench_spmm(n_vertex=args.spmm_vertices)
+    train_100k = None if args.skip_100k else bench_train_100k()
     scaling = None if args.skip_scaling else bench_scaling()
 
     baseline = None
@@ -308,6 +387,9 @@ def main():
     if spmm:
         out["spmm"] = {k: (round(v, 6) if isinstance(v, float) else v)
                        for k, v in spmm.items()}
+    if train_100k:
+        out["train_100k"] = {k: (round(v, 6) if isinstance(v, float) else v)
+                             for k, v in train_100k.items()}
     if scaling:
         out["scaling"] = scaling
     print(json.dumps(out), flush=True)

@@ -25,6 +25,15 @@ than once in each direction. Dropout uses the on-core PRNG seeded by
 ``(seed, program_id)`` and is regenerated identically in the backward
 kernel — no mask tensor in HBM.
 
+All large I/O crosses HBM in channel-before-vertex layout ``[B, T, C,
+V]``: Pallas pins row-major operand layouts, and with C ∈ {8, 16} in
+the lane dimension the TPU (8, 128) tiling would pad HBM buffers 8–16×
+(measured: a B=8 100k-vertex train step demanded 15.3 GB of temps at
+15% utilization). C sits in sublanes (multiple of 8), V in lanes
+(multiple of 128): zero padding; tiles are transposed to vertex-major
+in VMEM (:func:`_cv2vc`, ~µs-scale) around the channel-contracting
+dots.
+
 Both kernels ship hand-written recompute-based backward kernels wired
 via ``custom_vjp`` (the forward is cheap to recompute per tile), with
 weight gradients accumulated in f32 across the sequential TPU grid —
@@ -145,6 +154,29 @@ def pick_b_tile(cfg: VertexBlockCfg, b: int,
 # --------------------------------------------------------------------------
 # shared math (runs inside Pallas kernels and as plain jnp reference)
 # --------------------------------------------------------------------------
+
+def _cv2vc(x):
+    """[b, t, c, v_tile] → [b, t, v_tile, c].
+
+    All kernel I/O crosses HBM in channel-before-vertex ("cv") layout:
+    Pallas custom-calls pin operands to row-major ``{3,2,1,0}``, whose
+    TPU tiling pads the minor two dims to (8, 128) — a ``[..., V, 16]``
+    array would burn 8× HBM (measured: a 100k-vertex B=8 train step
+    "filled" 15.3 GB at 15% utilization). With C in sublanes (multiple
+    of 8) and V in lanes (multiple of 128) the padding is zero; the
+    kernels transpose tiles to vertex-major internally (the minor-2-dim
+    batched transpose costs ~2-3 µs, see fused_stblock's layout study)."""
+    b, t, c, v = x.shape
+    return jnp.transpose(x.reshape(b * t, c, v), (0, 2, 1)).reshape(
+        b, t, v, c)
+
+
+def _vc2cv(x):
+    """[b, t, v_tile, c] → [b, t, c, v_tile] (see :func:`_cv2vc`)."""
+    b, t, v, c = x.shape
+    return jnp.transpose(x.reshape(b * t, v, c), (0, 2, 1)).reshape(
+        b, t, c, v)
+
 
 def _ln_drop_fwd(cfg, x4, mu, rstd, lng, lnb, mask):
     """Normalize the previous block's pre-LN output with given scalar
@@ -285,15 +317,15 @@ def _make_head_fwd_kernel(cfg, b):
              c1k, c1b, gaw, gab, out_ref) = refs
         else:
             x_ref, c1k, c1b, gaw, gab, out_ref = refs
-        x4 = x_ref[...]
+        x4 = _cv2vc(x_ref[...])
         if cfg.apply_ln:
             mask = None
             if cfg.training and cfg.droprate > 0.0:
                 mask = _drop_mask(cfg, seed_ref[0], x4.shape)
             x4 = _ln_drop_fwd(cfg, x4, mu_ref[...], rstd_ref[...],
-                              lng_ref[...], lnb_ref[...], mask)
+                              lng_ref[...].T, lnb_ref[...].T, mask)
         fw = _head_core(cfg, x4, (c1k[...], c1b[...], gaw[...], gab[...]))
-        out_ref[...] = fw["xg"]
+        out_ref[...] = _vc2cv(fw["xg"])
 
     return kernel
 
@@ -309,28 +341,28 @@ def _make_head_bwd_kernel(cfg, b):
             (x_ref, c1k, c1b, gaw, gab, gy_ref,
              dx_ref, dc1k_ref, dc1b_ref, dgaw_ref, dgab_ref) = refs
         w = (c1k[...], c1b[...], gaw[...], gab[...])
-        x4raw = x_ref[...]
+        x4raw = _cv2vc(x_ref[...])
         mask = None
         if cfg.apply_ln:
             if cfg.training and cfg.droprate > 0.0:
                 mask = _drop_mask(cfg, seed_ref[0], x4raw.shape)
             x4 = _ln_drop_fwd(cfg, x4raw, mu_ref[...], rstd_ref[...],
-                              lng_ref[...], lnb_ref[...], mask)
+                              lng_ref[...].T, lnb_ref[...].T, mask)
         else:
             x4 = x4raw
         fw = _head_core(cfg, x4, w)
-        bw = _head_core_bwd(cfg, x4, w, fw, gy_ref[...])
+        bw = _head_core_bwd(cfg, x4, w, fw, _cv2vc(gy_ref[...]))
 
         if cfg.apply_ln:
             dx, dmu, drstd, dlng, dlnb = _ln_drop_bwd(
-                cfg, x4raw, mu_ref[...], rstd_ref[...], lng_ref[...],
-                lnb_ref[...], mask, bw["dx4"])
-            dx_ref[...] = dx
+                cfg, x4raw, mu_ref[...], rstd_ref[...], lng_ref[...].T,
+                lnb_ref[...].T, mask, bw["dx4"])
+            dx_ref[...] = _vc2cv(dx)
             # per-(batch tile) partials: a [tile_v] output block would be
             # revisited NON-consecutively across batch tiles, which Mosaic
             # does not re-fetch — the caller sums over the leading axis.
-            dlng_ref[...] = dlng[None]
-            dlnb_ref[...] = dlnb[None]
+            dlng_ref[...] = dlng.T[None]
+            dlnb_ref[...] = dlnb.T[None]
 
             # dmu/drstd blocks are constant over the inner (vertex) grid
             # dim, so accumulation across consecutive steps is safe.
@@ -342,7 +374,7 @@ def _make_head_bwd_kernel(cfg, b):
             dmu_ref[...] += dmu
             drstd_ref[...] += drstd
         else:
-            dx_ref[...] = bw["dx4"]
+            dx_ref[...] = _vc2cv(bw["dx4"])
 
         @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
         def _init():
@@ -377,8 +409,8 @@ def _head_pallas(cfg, seed, x, ln, w):
     b = x.shape[0]
     bt, grid = _grid_of(cfg, b)
     c1k, c1b, gaw, gab = w
-    in_specs = [pl.BlockSpec((bt, cfg.t_in, cfg.tile_v, cfg.c_in),
-                             lambda j, i, *_: (j, 0, i, 0))]
+    in_specs = [pl.BlockSpec((bt, cfg.t_in, cfg.c_in, cfg.tile_v),
+                             lambda j, i, *_: (j, 0, 0, i))]
     args = [x]
     if cfg.apply_ln:
         mu, rstd, lng, lnb = ln
@@ -386,10 +418,10 @@ def _head_pallas(cfg, seed, x, ln, w):
                                   lambda j, i, *_: (j, 0, 0, 0)),
                      pl.BlockSpec((bt, cfg.t_in, 1, 1),
                                   lambda j, i, *_: (j, 0, 0, 0)),
-                     pl.BlockSpec((cfg.tile_v, cfg.c_in),
-                                  lambda j, i, *_: (i, 0)),
-                     pl.BlockSpec((cfg.tile_v, cfg.c_in),
-                                  lambda j, i, *_: (i, 0))]
+                     pl.BlockSpec((cfg.c_in, cfg.tile_v),
+                                  lambda j, i, *_: (0, i)),
+                     pl.BlockSpec((cfg.c_in, cfg.tile_v),
+                                  lambda j, i, *_: (0, i))]
         args += [mu, rstd, lng, lnb]
     in_specs += [_cspec(c1k.shape), _cspec(c1b.shape),
                  _cspec(gaw.shape), _cspec(gab.shape)]
@@ -397,13 +429,13 @@ def _head_pallas(cfg, seed, x, ln, w):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bt, cfg.t1, cfg.tile_v, cfg.c1),
-                               lambda j, i, *_: (j, 0, i, 0)),
+        out_specs=pl.BlockSpec((bt, cfg.t1, cfg.c1, cfg.tile_v),
+                               lambda j, i, *_: (j, 0, 0, i)),
     )
     return pl.pallas_call(
         _make_head_fwd_kernel(cfg, bt),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, cfg.t1, cfg.v_pad, cfg.c1),
+        out_shape=jax.ShapeDtypeStruct((b, cfg.t1, cfg.c1, cfg.v_pad),
                                        x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * cfg.v_pad * cfg.t1
@@ -422,8 +454,8 @@ def _head_pallas_bwd(cfg, seed, x, ln, w, gy):
     bt, grid = _grid_of(cfg, b)
     nbt = grid[0]
     c1k, c1b, gaw, gab = w
-    in_specs = [pl.BlockSpec((bt, cfg.t_in, cfg.tile_v, cfg.c_in),
-                             lambda j, i, *_: (j, 0, i, 0))]
+    in_specs = [pl.BlockSpec((bt, cfg.t_in, cfg.c_in, cfg.tile_v),
+                             lambda j, i, *_: (j, 0, 0, i))]
     args = [x]
     if cfg.apply_ln:
         mu, rstd, lng, lnb = ln
@@ -431,19 +463,19 @@ def _head_pallas_bwd(cfg, seed, x, ln, w, gy):
                                   lambda j, i, *_: (j, 0, 0, 0)),
                      pl.BlockSpec((bt, cfg.t_in, 1, 1),
                                   lambda j, i, *_: (j, 0, 0, 0)),
-                     pl.BlockSpec((cfg.tile_v, cfg.c_in),
-                                  lambda j, i, *_: (i, 0)),
-                     pl.BlockSpec((cfg.tile_v, cfg.c_in),
-                                  lambda j, i, *_: (i, 0))]
+                     pl.BlockSpec((cfg.c_in, cfg.tile_v),
+                                  lambda j, i, *_: (0, i)),
+                     pl.BlockSpec((cfg.c_in, cfg.tile_v),
+                                  lambda j, i, *_: (0, i))]
         args += [mu, rstd, lng, lnb]
     in_specs += [_cspec(c1k.shape), _cspec(c1b.shape),
                  _cspec(gaw.shape), _cspec(gab.shape),
-                 pl.BlockSpec((bt, cfg.t1, cfg.tile_v, cfg.c1),
-                              lambda j, i, *_: (j, 0, i, 0))]
+                 pl.BlockSpec((bt, cfg.t1, cfg.c1, cfg.tile_v),
+                              lambda j, i, *_: (j, 0, 0, i))]
     args += [c1k, c1b, gaw, gab, gy]
 
-    out_specs = [pl.BlockSpec((bt, cfg.t_in, cfg.tile_v, cfg.c_in),
-                              lambda j, i, *_: (j, 0, i, 0))]
+    out_specs = [pl.BlockSpec((bt, cfg.t_in, cfg.c_in, cfg.tile_v),
+                              lambda j, i, *_: (j, 0, 0, i))]
     out_shapes = [jax.ShapeDtypeStruct(x.shape, x.dtype)]
     if cfg.apply_ln:
         # dmu/drstd accumulate over the inner vertex sweep (block constant
@@ -452,15 +484,15 @@ def _head_pallas_bwd(cfg, seed, x, ln, w, gy):
                                    lambda j, i, *_: (j, 0, 0, 0)),
                       pl.BlockSpec((bt, cfg.t_in, 1, 1),
                                    lambda j, i, *_: (j, 0, 0, 0)),
-                      pl.BlockSpec((1, cfg.tile_v, cfg.c_in),
-                                   lambda j, i, *_: (j, i, 0)),
-                      pl.BlockSpec((1, cfg.tile_v, cfg.c_in),
-                                   lambda j, i, *_: (j, i, 0))]
+                      pl.BlockSpec((1, cfg.c_in, cfg.tile_v),
+                                   lambda j, i, *_: (j, 0, i)),
+                      pl.BlockSpec((1, cfg.c_in, cfg.tile_v),
+                                   lambda j, i, *_: (j, 0, i))]
         out_shapes += [jax.ShapeDtypeStruct(ln[0].shape, _F32),
                        jax.ShapeDtypeStruct(ln[1].shape, _F32),
-                       jax.ShapeDtypeStruct((nbt, cfg.v_pad, cfg.c_in),
+                       jax.ShapeDtypeStruct((nbt, cfg.c_in, cfg.v_pad),
                                             _F32),
-                       jax.ShapeDtypeStruct((nbt, cfg.v_pad, cfg.c_in),
+                       jax.ShapeDtypeStruct((nbt, cfg.c_in, cfg.v_pad),
                                             _F32)]
     out_specs += [_cspec(c1k.shape), _cspec((1, cfg.g1)),
                   _cspec(gaw.shape), _cspec((1, cfg.c1))]
@@ -488,11 +520,12 @@ def _head_pallas_bwd(cfg, seed, x, ln, w, gy):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def head_fused(cfg, seed, x, mu, rstd, lng, lnb, c1k, c1b, gaw, gab):
-    """Fused block head on ``[B, T, V_pad, c_in]``; returns the graph
-    operand ``xg`` ``[B, T−kt+1, V_pad, c1]``. When ``cfg.apply_ln``, the
-    input is first normalized with the given stats (the previous block's
-    LayerNorm) and dropped out (reference order `model/layers.py:255-256`
-    — LN then dropout then next block)."""
+    """Fused block head on ``[B, T, c_in, V_pad]`` (channel-before-vertex
+    — see :func:`_cv2vc`); returns the graph operand ``xg``
+    ``[B, T−kt+1, c1, V_pad]``. ``lng``/``lnb``: ``[c_in, V_pad]``. When
+    ``cfg.apply_ln``, the input is first normalized with the given stats
+    (the previous block's LayerNorm) and dropped out (reference order
+    `model/layers.py:255-256` — LN then dropout then next block)."""
     ln = (mu, rstd, lng, lnb) if cfg.apply_ln else None
     return _head_pallas(cfg, seed, x, ln, (c1k, c1b, gaw, gab))
 
@@ -539,14 +572,22 @@ def _make_tail_fwd_kernel(cfg, b):
         term_refs = refs[1:1 + nt]
         gcw, gcb, c2k, c2b = refs[1 + nt:5 + nt]
         a2_ref, ps_ref, pss_ref = refs[5 + nt:]
-        fw = _tail_core(cfg, xg_ref[...], [t[...] for t in term_refs],
+        fw = _tail_core(cfg, _cv2vc(xg_ref[...]),
+                        [_cv2vc(t[...]) for t in term_refs],
                         (gcw[...], gcb[...], c2k[...], c2b[...]))
         a2 = fw["a2"]
-        a2_ref[...] = a2
+        a2_ref[...] = _vc2cv(a2)
         vm = _vmask(cfg)
         a32 = a2.astype(_F32) * vm
-        ps_ref[...] = _sum_vc(a32)[None]          # [1, B, T2, 1, 1]
-        pss_ref[...] = _sum_vc(a32 * a32)[None]
+        # LN partials accumulate across the inner vertex sweep (their
+        # [bt, T2, 1, 1] block is constant in the vertex grid dim)
+        @pl.when(pl.program_id(1) == 0)
+        def _init_stats():
+            ps_ref[...] = jnp.zeros_like(ps_ref)
+            pss_ref[...] = jnp.zeros_like(pss_ref)
+
+        ps_ref[...] += _sum_vc(a32)
+        pss_ref[...] += _sum_vc(a32 * a32)
 
     return kernel
 
@@ -563,20 +604,20 @@ def _make_tail_bwd_kernel(cfg, b):
         dterm_refs = refs[9 + nt:9 + 2 * nt]
         (dgcw_ref, dgcb_ref, dc2k_ref, dc2b_ref) = refs[9 + 2 * nt:]
         w = (gcw[...], gcb[...], c2k[...], c2b[...])
-        xg = xg_ref[...]
-        terms = [t[...] for t in term_refs]
+        xg = _cv2vc(xg_ref[...])
+        terms = [_cv2vc(t[...]) for t in term_refs]
         fw = _tail_core(cfg, xg, terms, w)
         # fold the LN-partial cotangents into da2 (masked to true rows):
         # ps = Σ a2, pss = Σ a2² over (tile rows, c2) per (b, t2)
         vm = _vmask(cfg)
-        da2 = (ga2_ref[...].astype(_F32)
-               + (gps_ref[...][0]
-                  + 2.0 * gpss_ref[...][0] * fw["a2"].astype(_F32))
+        da2 = (_cv2vc(ga2_ref[...]).astype(_F32)
+               + (gps_ref[...]
+                  + 2.0 * gpss_ref[...] * fw["a2"].astype(_F32))
                * vm).astype(xg.dtype)
         bw = _tail_core_bwd(cfg, xg, terms, w, fw, da2)
-        dxg_ref[...] = bw["dxg"]
+        dxg_ref[...] = _vc2cv(bw["dxg"])
         for r, dt in zip(dterm_refs, bw["dterms"]):
-            r[...] = dt
+            r[...] = _vc2cv(dt)
 
         @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
         def _init():
@@ -596,10 +637,9 @@ def _make_tail_bwd_kernel(cfg, b):
 def _tail_pallas(cfg, xg, terms, w):
     b = xg.shape[0]
     bt, grid = _grid_of(cfg, b)
-    nvb = grid[1]
     gcw, gcb, c2k, c2b = w
-    vspec = pl.BlockSpec((bt, cfg.t1, cfg.tile_v, cfg.c1),
-                         lambda j, i, *_: (j, 0, i, 0))
+    vspec = pl.BlockSpec((bt, cfg.t1, cfg.c1, cfg.tile_v),
+                         lambda j, i, *_: (j, 0, 0, i))
     in_specs = [vspec] + [vspec] * len(terms)
     in_specs += [_cspec(gcw.shape), _cspec(gcb.shape),
                  _cspec(c2k.shape), _cspec(c2b.shape)]
@@ -607,21 +647,21 @@ def _tail_pallas(cfg, xg, terms, w):
         num_scalar_prefetch=1, grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((bt, cfg.t2, cfg.tile_v, cfg.c2),
-                         lambda j, i, *_: (j, 0, i, 0)),
-            pl.BlockSpec((1, bt, cfg.t2, 1, 1),
-                         lambda j, i, *_: (i, j, 0, 0, 0)),
-            pl.BlockSpec((1, bt, cfg.t2, 1, 1),
-                         lambda j, i, *_: (i, j, 0, 0, 0)),
+            pl.BlockSpec((bt, cfg.t2, cfg.c2, cfg.tile_v),
+                         lambda j, i, *_: (j, 0, 0, i)),
+            pl.BlockSpec((bt, cfg.t2, 1, 1),
+                         lambda j, i, *_: (j, 0, 0, 0)),
+            pl.BlockSpec((bt, cfg.t2, 1, 1),
+                         lambda j, i, *_: (j, 0, 0, 0)),
         ],
     )
     return pl.pallas_call(
         _make_tail_fwd_kernel(cfg, bt),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, cfg.t2, cfg.v_pad, cfg.c2), xg.dtype),
-            jax.ShapeDtypeStruct((nvb, b, cfg.t2, 1, 1), _F32),
-            jax.ShapeDtypeStruct((nvb, b, cfg.t2, 1, 1), _F32),
+            jax.ShapeDtypeStruct((b, cfg.t2, cfg.c2, cfg.v_pad), xg.dtype),
+            jax.ShapeDtypeStruct((b, cfg.t2, 1, 1), _F32),
+            jax.ShapeDtypeStruct((b, cfg.t2, 1, 1), _F32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * cfg.v_pad * cfg.t1
@@ -641,15 +681,15 @@ def _tail_pallas_bwd(cfg, xg, terms, w, ga2, gps, gpss):
     b = xg.shape[0]
     bt, grid = _grid_of(cfg, b)
     gcw, gcb, c2k, c2b = w
-    vspec = pl.BlockSpec((bt, cfg.t1, cfg.tile_v, cfg.c1),
-                         lambda j, i, *_: (j, 0, i, 0))
-    pspec = pl.BlockSpec((1, bt, cfg.t2, 1, 1),
-                         lambda j, i, *_: (i, j, 0, 0, 0))
+    vspec = pl.BlockSpec((bt, cfg.t1, cfg.c1, cfg.tile_v),
+                         lambda j, i, *_: (j, 0, 0, i))
+    pspec = pl.BlockSpec((bt, cfg.t2, 1, 1),
+                         lambda j, i, *_: (j, 0, 0, 0))
     in_specs = [vspec] + [vspec] * len(terms)
     in_specs += [_cspec(gcw.shape), _cspec(gcb.shape),
                  _cspec(c2k.shape), _cspec(c2b.shape),
-                 pl.BlockSpec((bt, cfg.t2, cfg.tile_v, cfg.c2),
-                              lambda j, i, *_: (j, 0, i, 0)),
+                 pl.BlockSpec((bt, cfg.t2, cfg.c2, cfg.tile_v),
+                              lambda j, i, *_: (j, 0, 0, i)),
                  pspec, pspec]
     out_specs = [vspec] + [vspec] * len(terms)
     out_shapes = [jax.ShapeDtypeStruct(xg.shape, xg.dtype)] * (1 + len(terms))
@@ -682,10 +722,12 @@ def _tail_pallas_bwd(cfg, xg, terms, w, ga2, gps, gpss):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def tail_fused(cfg, xg, t_a, t_b, gcw, gcb, c2k, c2b):
-    """Fused block tail. ``t_a``/``t_b``: the graph outputs (``t_b`` is
+    """Fused block tail; all big operands channel-before-vertex
+    (see :func:`_cv2vc`). ``t_a``/``t_b``: the graph outputs (``t_b`` is
     ignored when only one term exists — pass ``t_a`` again). Returns
-    ``(a2 [B, T2, V_pad, c2], psum [nvb, B, T2], psumsq [nvb, B, T2])`` —
-    the pre-LN activation plus masked per-tile LayerNorm partials."""
+    ``(a2 [B, T2, c2, V_pad], psum [B, T2, 1, 1], psumsq [B, T2, 1, 1])``
+    — the pre-LN activation plus masked LayerNorm partial sums (already
+    reduced over all vertex tiles)."""
     terms = [t_a, t_b][: cfg.n_terms]
     return _tail_pallas(cfg, xg, terms, (gcw, gcb, c2k, c2b))
 
@@ -719,19 +761,22 @@ tail_fused.defvjp(_tail_fused_fwd, _tail_fused_bwd)
 # --------------------------------------------------------------------------
 
 def head_reference(cfg, x, ln, w, drop_mask=None):
-    """Whole-array jnp mirror of `head_fused` (drop_mask pre-scaled)."""
+    """Whole-array jnp mirror of `head_fused` (cv-layout I/O,
+    drop_mask pre-scaled in vc orientation)."""
+    x = jnp.swapaxes(x, -1, -2)
     if cfg.apply_ln:
         mu, rstd, lng, lnb = ln
-        x = _ln_drop_fwd(cfg, x, mu, rstd, lng, lnb, drop_mask)
-    return _head_core(cfg, x, w)["xg"]
+        x = _ln_drop_fwd(cfg, x, mu, rstd, lng.T, lnb.T, drop_mask)
+    return jnp.swapaxes(_head_core(cfg, x, w)["xg"], -1, -2)
 
 
 def tail_reference(cfg, xg, terms, w):
-    """Whole-array jnp mirror of `tail_fused`."""
-    fw = _tail_core(cfg, xg, terms, w)
+    """Whole-array jnp mirror of `tail_fused` (cv-layout I/O)."""
+    fw = _tail_core(cfg, jnp.swapaxes(xg, -1, -2),
+                    [jnp.swapaxes(t, -1, -2) for t in terms], w)
     a2 = fw["a2"]
     vm = (jnp.arange(cfg.v_pad)[:, None] < cfg.v_true).astype(_F32)
     a32 = a2.astype(_F32) * vm
-    ps = jnp.sum(a32, axis=(2, 3), keepdims=True)[None]
-    pss = jnp.sum(a32 * a32, axis=(2, 3), keepdims=True)[None]
-    return a2, ps, pss
+    ps = jnp.sum(a32, axis=(2, 3), keepdims=True)
+    pss = jnp.sum(a32 * a32, axis=(2, 3), keepdims=True)
+    return jnp.swapaxes(a2, -1, -2), ps, pss

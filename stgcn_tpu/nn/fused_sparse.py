@@ -10,20 +10,27 @@ kernels around the existing sparse graph kernels
       → graph aggregation (banded/ELL SpMM or fused Chebyshev pair)
       → tail (contraction → residual → ReLU → tconv2 → gate + LN partials)
 
-so between ST blocks no full-size ``[B, T, V, C]`` activation crosses
-HBM more than once per direction — at 100k vertices the unfused step is
-dominated by exactly that elementwise traffic (ROADMAP.md). The output
-head (`model/layers.py:260-284`) stays in XLA, reusing
+so between ST blocks no full-size activation crosses HBM more than once
+per direction — at 100k vertices the unfused step is dominated by
+exactly that elementwise traffic (ROADMAP.md). The output head
+(`model/layers.py:260-284`) stays in XLA, reusing
 :func:`stgcn_tpu.nn.fused._output_block_apply`.
+
+Inter-kernel activations travel in channel-before-vertex layout
+``[B, T, C, V]`` and the graph kernels consume the folded ``[V, N]``
+operand directly (``apply_vn`` / ``cheb_pair_vn``): Pallas custom-calls
+pin row-major layouts, and a ``[..., V, C]`` boundary tensor with
+C ∈ {8, 16} would be lane-padded 8–16× in HBM (see
+:func:`stgcn_tpu.kernels.vertex_fused._cv2vc`).
 
 The kernels tile ``(batch, vertices)``; the batch tile is auto-sized to
 the kernels' scoped-VMEM budget (:func:`vertex_fused.pick_b_tile`) and
 the batch is zero-padded to a tile multiple (padded rows carry zero
 cotangents, so weight gradients are unaffected). With ``remat=True``
 (default: ``model.remat``) each ST block is wrapped in
-``jax.checkpoint`` — at 100k vertices the per-block custom-VJP
-residuals otherwise hold many GB of HBM, just like the unfused model's
-``nn.remat`` blocks (`nn/model.py:65-90`).
+``jax.checkpoint`` — the per-block custom-VJP residuals otherwise sum
+to many GB at 100k vertices, just like the unfused model's ``nn.remat``
+blocks (`nn/model.py:65-90`).
 
 Dropout inside the heads uses the on-core PRNG (block-seeded from the
 step rng); trajectories therefore differ bitwise from the unfused path
@@ -52,26 +59,58 @@ from stgcn_tpu.nn.fused import _output_block_apply
 from stgcn_tpu.nn.model import STGCN
 
 
+def _vn(x_cv: jax.Array) -> jax.Array:
+    """[B, T, C, V] → [V, B·T·C] — the graph kernels' native operand."""
+    return x_cv.reshape(-1, x_cv.shape[-1]).T
+
+
+def _from_vn(y_vn: jax.Array, like: jax.Array) -> jax.Array:
+    v_pad = like.shape[-1]
+    if y_vn.shape[0] < v_pad:  # op pad < kernel-tile pad
+        y_vn = jnp.pad(y_vn, ((0, v_pad - y_vn.shape[0]), (0, 0)))
+    return y_vn.T.reshape(like.shape)
+
+
+def _graph_terms(cfg: VertexBlockCfg, gop: Any, xg: jax.Array):
+    """The graph outputs entering the tail contraction, in cv layout."""
+    if cfg.ks == 1 and cfg.graph_conv_type == "cheb_graph_conv":
+        return xg, xg  # contraction uses T_0 only
+    gv = getattr(gop, "v_pad", None) or getattr(gop, "n_vertex_pad", None)
+    if hasattr(gop, "apply_vn"):
+        x_vn = _vn(xg)
+        if gv is not None and gv < x_vn.shape[0]:
+            x_vn = x_vn[:gv]  # rows past the op's pad are zero padding
+        if cfg.graph_conv_type == "graph_conv" or cfg.ks == 2:
+            t = _from_vn(gop.apply_vn(x_vn), xg)
+            return t, t
+        if hasattr(gop, "cheb_pair_vn"):
+            t1, t2 = gop.cheb_pair_vn(x_vn)
+        else:
+            t1 = gop.apply_vn(x_vn)
+            t2 = gop.apply_vn(t1, scale=2.0) - x_vn
+        return _from_vn(t1, xg), _from_vn(t2, xg)
+    # generic operator: go through [..., V, C]
+    xg_vc = jnp.swapaxes(xg, -1, -2)
+    if cfg.graph_conv_type == "graph_conv" or cfg.ks == 2:
+        t = jnp.swapaxes(gop(xg_vc), -1, -2)
+        return t, t
+    if hasattr(gop, "cheb_pair"):
+        t1, t2 = gop.cheb_pair(xg_vc)
+        return jnp.swapaxes(t1, -1, -2), jnp.swapaxes(t2, -1, -2)
+    t1 = gop(xg_vc)
+    t2 = gop(t1, scale=2.0) - xg_vc
+    return jnp.swapaxes(t1, -1, -2), jnp.swapaxes(t2, -1, -2)
+
+
 def _st_block(cfg: VertexBlockCfg, gop: Any, seed, head_in, mu, rstd,
               lng_p, lnb_p, w):
     """One ST block: head kernel → graph aggregation → tail kernel.
     A standalone function (cfg static, everything else pytree args) so it
-    can be wrapped in ``jax.checkpoint``."""
+    can be wrapped in ``jax.checkpoint``. All activations cv-layout."""
     c1k, c1b, gaw, gab, gcw, gcb, c2k, c2b = w
     xg = head_fused(cfg, seed, head_in, mu, rstd, lng_p, lnb_p,
                     c1k, c1b, gaw, gab)
-    if cfg.graph_conv_type == "graph_conv":
-        t_a = t_b = gop(xg)
-    elif cfg.ks == 1:
-        t_a = t_b = xg  # contraction uses T_0 only
-    elif cfg.ks == 2:
-        t_a = t_b = gop(xg)
-    else:  # ks == 3
-        if hasattr(gop, "cheb_pair"):
-            t_a, t_b = gop.cheb_pair(xg)
-        else:
-            t_a = gop(xg)
-            t_b = gop(t_a, scale=2.0) - xg
+    t_a, t_b = _graph_terms(cfg, gop, xg)
     return tail_fused(cfg, xg, t_a, t_b, gcw, gcb, c2k, c2b)
 
 
@@ -104,8 +143,9 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
                          interpret: bool = False) -> jax.Array:
     """Forward pass with vertex-fused ST-block kernels.
 
-    ``gop`` must expose ``v_pad`` (banded) or ``n_vertex_pad`` (BCSR) —
-    a 128-aligned padded vertex count; dense operators should use
+    ``x``: ``[B, T, V, C]`` (the model's public layout). ``gop`` must
+    expose ``v_pad`` (banded) or ``n_vertex_pad`` (BCSR) — a 128-aligned
+    padded vertex count; dense operators should use
     :func:`stgcn_tpu.nn.fused.fused_forward` instead. Supports the CLI
     surface: ``Ks ∈ {1, 2, 3}`` (cheb) and 1st-order graph_conv.
     """
@@ -148,12 +188,13 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
     x = x.astype(cdt)
     if x.shape[2] != v_pad:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, v_pad - x.shape[2]), (0, 0)))
+    x = jnp.transpose(x, (0, 1, 3, 2))  # → cv layout [B, T, C, V]
 
     # prepass: static per-block configs, then one shared batch tile
     # (Mosaic can't lower the backward's N=1 matmul → c_in floors at 8)
     cfgs = []
     cur_t = model.n_his
-    c_in = max(x.shape[-1], 8)
+    c_in = max(x.shape[2], 8)
     for l in range(n_st):
         c0, c1, c2 = blocks[l + 1]
         cfgs.append(VertexBlockCfg(
@@ -187,20 +228,20 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
             # see kernels/vertex_fused._ln_drop_fwd)
             mu = jnp.zeros((b, cfg.t_in, 1, 1), jnp.float32)
             rstd = jnp.ones((b, cfg.t_in, 1, 1), jnp.float32)
-            lng_p = jnp.ones((v_pad, cfg.c_in), jnp.float32)
-            lnb_p = jnp.zeros((v_pad, cfg.c_in), jnp.float32)
+            lng_p = jnp.ones((cfg.c_in, v_pad), jnp.float32)
+            lnb_p = jnp.zeros((cfg.c_in, v_pad), jnp.float32)
             head_in = x
         else:
             a2_prev, mu, rstd, lng_p, lnb_p = state
             head_in = a2_prev
 
-        if head_in.shape[-1] < cfg.c_in:  # channel floor (see prepass)
-            pad_c = cfg.c_in - head_in.shape[-1]
+        if head_in.shape[2] < cfg.c_in:  # channel floor (see prepass)
+            pad_c = cfg.c_in - head_in.shape[2]
             head_in = jnp.pad(
-                head_in, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+                head_in, ((0, 0), (0, 0), (0, pad_c), (0, 0)))
             c1k = jnp.pad(c1k, ((0, 0), (0, pad_c), (0, 0)))
-            lng_p = jnp.pad(lng_p, ((0, 0), (0, pad_c)))
-            lnb_p = jnp.pad(lnb_p, ((0, 0), (0, pad_c)))
+            lng_p = jnp.pad(lng_p, ((0, pad_c), (0, 0)))
+            lnb_p = jnp.pad(lnb_p, ((0, pad_c), (0, 0)))
 
         w = (c1k.astype(cdt), c1b.astype(jnp.float32),
              gaw.astype(cdt), gab.astype(jnp.float32),
@@ -210,13 +251,13 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
                              lng_p, lnb_p, w)
 
         denom = float(v_true * cfg.c2)
-        mu = jnp.sum(ps, axis=0) / denom                     # [B, T2, 1, 1]
-        var = jnp.sum(pss, axis=0) / denom - mu * mu
+        mu = ps / denom                                      # [B, T2, 1, 1]
+        var = pss / denom - mu * mu
         rstd = lax.rsqrt(jnp.maximum(var, 0.0) + 1e-12)
         pad_v = ((0, v_pad - v_true), (0, 0))
         state = (a2, mu, rstd,
-                 jnp.pad(lng.astype(jnp.float32), pad_v),
-                 jnp.pad(lnb.astype(jnp.float32), pad_v))
+                 jnp.pad(lng.astype(jnp.float32), pad_v).T,
+                 jnp.pad(lnb.astype(jnp.float32), pad_v).T)
 
     # final block's LayerNorm normalize + dropout in XLA (one fused pass)
     a2, mu, rstd, lng_p, lnb_p = state
@@ -225,7 +266,7 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
     if training:
         keep = jax.random.bernoulli(drop_rng, 1.0 - model.droprate, y.shape)
         y = jnp.where(keep, y / (1.0 - model.droprate), 0.0).astype(cdt)
-    y = y[:b_in, :, :v_true, :]
+    y = jnp.transpose(y, (0, 1, 3, 2))[:b_in, :, :v_true, :]
 
     if ko > 1:
         prec = (lax.Precision.HIGHEST if precision == "highest" else None)

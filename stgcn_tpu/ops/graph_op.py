@@ -81,10 +81,11 @@ class BcsrGraphOp(struct.PyTreeNode):
     def n_vertex_pad(self) -> int:
         return self.block_cols.shape[0] * self.block_size
 
-    def __call__(self, x: jax.Array, *, scale: float | jax.Array = 1.0) -> jax.Array:
+    def apply_vn(self, x_vn: jax.Array, *,
+                 scale: float | jax.Array = 1.0) -> jax.Array:
+        """Apply to an already-folded ``[V, N]`` operand (V rows ≤ pad)."""
         from stgcn_tpu.kernels import spmm as spmm_mod
 
-        x_vn, lead_c = _fold_to_vn(x)
         v = x_vn.shape[0]
         pad = self.n_vertex_pad - v
         if pad:
@@ -97,7 +98,11 @@ class BcsrGraphOp(struct.PyTreeNode):
                                    x_vn, self.block_size, self.use_pallas)
         if pad:
             y = y[:v]
-        return _unfold_from_vn(y, lead_c)
+        return y
+
+    def __call__(self, x: jax.Array, *, scale: float | jax.Array = 1.0) -> jax.Array:
+        x_vn, lead_c = _fold_to_vn(x)
+        return _unfold_from_vn(self.apply_vn(x_vn, scale=scale), lead_c)
 
 
 class BandedGraphOp(struct.PyTreeNode):
@@ -123,7 +128,9 @@ class BandedGraphOp(struct.PyTreeNode):
     scales: jax.Array | None = None    # [nbr, bs] per-row dequant (int8)
     scales_t: jax.Array | None = None
 
-    def __call__(self, x: jax.Array, *, scale: float | jax.Array = 1.0) -> jax.Array:
+    def apply_vn(self, x_vn: jax.Array, *,
+                 scale: float | jax.Array = 1.0) -> jax.Array:
+        """Apply to an already-folded ``[V, N]`` operand (V rows ≤ pad)."""
         from stgcn_tpu.kernels import banded_spmm as bk
 
         unit = isinstance(scale, float) and scale == 1.0
@@ -137,23 +144,22 @@ class BandedGraphOp(struct.PyTreeNode):
             slabs = self.slabs if unit else self.slabs * scale
             slabs_t = self.slabs_t if unit else self.slabs_t * scale
             scl = scl_t = None
-        x_vn, lead_c = _fold_to_vn(x)
         v = x_vn.shape[0]
         pad = self.v_pad - v
         if pad:
             x_vn = jnp.pad(x_vn, ((0, pad), (0, 0)))
         y = bk.banded_spmm_vjp(slabs, self.lo, slabs_t, self.lo_t, x_vn,
                                scl, scl_t, 128, self.use_pallas)
-        y = y[:v]
-        return _unfold_from_vn(y, lead_c)
+        return y[:v]
 
-    def cheb_pair(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
-        """Fused ``(G x, 2 G (G x) − x)`` — the ks=3 Chebyshev recurrence
-        with the operator streamed from HBM once (see
-        :func:`stgcn_tpu.kernels.banded_spmm.banded_cheb_pair`)."""
+    def __call__(self, x: jax.Array, *, scale: float | jax.Array = 1.0) -> jax.Array:
+        x_vn, lead_c = _fold_to_vn(x)
+        return _unfold_from_vn(self.apply_vn(x_vn, scale=scale), lead_c)
+
+    def cheb_pair_vn(self, x_vn: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Folded-operand form of :meth:`cheb_pair` (``[V, N]`` in/out)."""
         from stgcn_tpu.kernels import banded_spmm as bk
 
-        x_vn, lead_c = _fold_to_vn(x)
         v = x_vn.shape[0]
         pad = self.v_pad - v
         if pad:
@@ -176,14 +182,21 @@ class BandedGraphOp(struct.PyTreeNode):
         elif self.scales is not None or not self.pair_safe:
             # quantized pack without a stream-compatible layout, or a band
             # violating the wavefront schedule: two single applications
-            t1 = self(x)
-            return t1, self(t1, scale=2.0) - x
+            t1 = self.apply_vn(x_vn[:v])
+            return t1, self.apply_vn(t1, scale=2.0) - x_vn[:v]
         else:
             t1, t2 = bk.banded_cheb_pair_vjp(self.slabs, self.lo,
                                              self.slabs_t, self.lo_t, x_vn,
                                              self.use_pallas)
-        return (_unfold_from_vn(t1[:v], lead_c),
-                _unfold_from_vn(t2[:v], lead_c))
+        return t1[:v], t2[:v]
+
+    def cheb_pair(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Fused ``(G x, 2 G (G x) − x)`` — the ks=3 Chebyshev recurrence
+        with the operator streamed from HBM once (see
+        :func:`stgcn_tpu.kernels.banded_spmm.banded_cheb_pair`)."""
+        x_vn, lead_c = _fold_to_vn(x)
+        t1, t2 = self.cheb_pair_vn(x_vn)
+        return _unfold_from_vn(t1, lead_c), _unfold_from_vn(t2, lead_c)
 
 
 GraphOp = Any  # structural: anything with .n_vertex and __call__(x, scale=...)
