@@ -211,6 +211,60 @@ def _local_halo_spmm(slabs_p, lo_p, scales_p, x_p, *, axis, halo, interior,
     return jnp.concatenate([ys[s0] for s0, _, _ in segs], axis=0)
 
 
+def _local_sddmm_body(g_, x_, lo_, *, halo, axis, block_size, w):
+    """Per-shard band-sampled SDDMM (slab gradient): ``dslab[i, b, w] =
+    Σ_n g[i·bs+b, n] · x_ext[lo_i + w, n]``."""
+    x_ext = _exchange_halo(x_, halo, axis)
+    nbr_s = lo_.shape[0]
+    idx = lo_[:, None] + jnp.arange(w)[None, :]
+    windows = x_ext[idx]                       # [nbr_s, w, n]
+    gb = g_.reshape(nbr_s, block_size, -1)
+    return jnp.einsum("ibn,iwn->ibw", gb, windows,
+                      preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def halo_spmm_local(cfg: _HaloCfg, slabs_p, lo_p, slabs_tp, lo_tp, x_p,
+                    scales_p=None, scales_tp=None):
+    """Per-shard halo SpMM for use INSIDE an existing ``shard_map`` over
+    ``cfg.axis`` (the module-level :func:`halo_banded_spmm` opens its own
+    shard_map and cannot nest — e.g. the vertex-fused sharded blocks,
+    `nn/fused_sparse.py`). Operands carry NO leading shard dim. Forward =
+    boundary exchange + banded SpMM; d/dx runs the transpose pack through
+    the same exchange; d/dslabs is the band-sampled SDDMM (zeros for
+    quantized packs — weights frozen)."""
+    return _local_halo_spmm(slabs_p, lo_p, scales_p, x_p, axis=cfg.axis,
+                            halo=cfg.halo, interior=cfg.interior,
+                            block_size=cfg.block_size,
+                            use_pallas=cfg.use_pallas)
+
+
+def _local_spmm_vjp_fwd(cfg, slabs_p, lo_p, slabs_tp, lo_tp, x_p,
+                        scales_p, scales_tp):
+    y = _local_halo_spmm(slabs_p, lo_p, scales_p, x_p, axis=cfg.axis,
+                         halo=cfg.halo, interior=cfg.interior,
+                         block_size=cfg.block_size,
+                         use_pallas=cfg.use_pallas)
+    return y, (slabs_p, lo_p, slabs_tp, lo_tp, x_p, scales_p, scales_tp)
+
+
+def _local_spmm_vjp_bwd(cfg, res, g):
+    slabs_p, lo_p, slabs_tp, lo_tp, x_p, scales_p, scales_tp = res
+    dx = _local_halo_spmm(slabs_tp, lo_tp, scales_tp, g, axis=cfg.axis,
+                          halo=cfg.halo_t, interior=cfg.interior_t,
+                          block_size=cfg.block_size,
+                          use_pallas=cfg.use_pallas)
+    if scales_p is not None:  # quantized pack: weights frozen
+        return jnp.zeros_like(slabs_p), None, None, None, dx, None, None
+    dslabs = _local_sddmm_body(g, x_p, lo_p, halo=cfg.halo, axis=cfg.axis,
+                               block_size=cfg.block_size,
+                               w=slabs_p.shape[-1]).astype(slabs_p.dtype)
+    return dslabs, None, None, None, dx, None, None
+
+
+halo_spmm_local.defvjp(_local_spmm_vjp_fwd, _local_spmm_vjp_bwd)
+
+
 def _halo_apply(cfg: _HaloCfg, slabs, lo, scales, x, *, transpose: bool):
     halo = cfg.halo_t if transpose else cfg.halo
     interior = cfg.interior_t if transpose else cfg.interior
@@ -260,15 +314,9 @@ def _halo_vjp_bwd(cfg, res, g):
         return jnp.zeros_like(slabs), None, None, None, dx, None, None
 
     def local_sddmm(g_, x_, lo_):
-        x_ext = _exchange_halo(x_, cfg.halo, cfg.axis)
-        nbr_s = lo_.shape[1]
-        bs = cfg.block_size
-        w = slabs.shape[-1]
-        idx = lo_[0][:, None] + jnp.arange(w)[None, :]
-        windows = x_ext[idx]                       # [nbr_s, w, n]
-        gb = g_.reshape(nbr_s, bs, -1)
-        return jnp.einsum("ibn,iwn->ibw", gb, windows,
-                          preferred_element_type=jnp.float32)[None]
+        return _local_sddmm_body(g_, x_, lo_[0], halo=cfg.halo,
+                                 axis=cfg.axis, block_size=cfg.block_size,
+                                 w=slabs.shape[-1])[None]
 
     ax = cfg.axis
     fn = shard_map(local_sddmm, mesh=cfg.mesh,
@@ -328,23 +376,34 @@ class BandedShardedGraphOp(struct.PyTreeNode):
         slabs_t = self.slabs_t if unit else self.slabs_t * scale
         return slabs, slabs_t, None, None
 
-    def __call__(self, x: jax.Array, *, scale: float | jax.Array = 1.0) -> jax.Array:
+    def apply_vn(self, x_vn: jax.Array, *,
+                 scale: float | jax.Array = 1.0) -> jax.Array:
+        """Apply to an already-folded ``[V, N]`` operand (V rows ≤ pad)."""
         slabs, slabs_t, scl, scl_t = self._scaled(scale)
-        x_vn, lead_c = _fold_to_vn(x)
         v = x_vn.shape[0]
         pad = self.n_vertex_pad - v
         if pad:
             x_vn = jnp.pad(x_vn, ((0, pad), (0, 0)))
         y = halo_banded_spmm(self._cfg, slabs, self.lo, slabs_t, self.lo_t,
                              x_vn, scl, scl_t)
-        return _unfold_from_vn(y[:v], lead_c)
+        return y[:v]
+
+    def __call__(self, x: jax.Array, *, scale: float | jax.Array = 1.0) -> jax.Array:
+        x_vn, lead_c = _fold_to_vn(x)
+        return _unfold_from_vn(self.apply_vn(x_vn, scale=scale), lead_c)
+
+    def cheb_pair_vn(self, x_vn: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Folded-operand form of :meth:`cheb_pair` (``[V, N]`` in/out)."""
+        t1 = self.apply_vn(x_vn)
+        return t1, self.apply_vn(t1, scale=2.0) - x_vn
 
     def cheb_pair(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
         """ks=3 Chebyshev recurrence; T2's aggregation needs T1's halo, so
         this is two halo applications (the single-chip wavefront fusion
         cannot cross shard boundaries)."""
-        t1 = self(x)
-        return t1, self(t1, scale=2.0) - x
+        x_vn, lead_c = _fold_to_vn(x)
+        t1, t2 = self.cheb_pair_vn(x_vn)
+        return _unfold_from_vn(t1, lead_c), _unfold_from_vn(t2, lead_c)
 
 
 def banded_sharded_graph_op(gso: GraphShiftOperator, mesh: Mesh, *,

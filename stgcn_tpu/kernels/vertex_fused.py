@@ -294,12 +294,15 @@ def _drop_mask(cfg, seed, shape):
         _BF16 if cfg.precision == "bfloat16" else _F32)
 
 
-def _vmask(cfg):
+def _vmask(cfg, vtrue):
     """[1, 1, tile_v, 1] f32 mask of true-vertex rows for this grid step.
-    The grid is ``(batch tiles, vertex tiles)`` — vertex index is dim 1."""
+    ``vtrue`` is a dynamic scalar (prefetch arg) so the same compiled
+    kernel serves every shard of a vertex-partitioned mesh, where the
+    local true-row count differs per shard. The grid is ``(batch tiles,
+    vertex tiles)`` — vertex index is dim 1."""
     rows = pl.program_id(1) * cfg.tile_v + lax.broadcasted_iota(
         jnp.int32, (cfg.tile_v, 1), 0)
-    return (rows < cfg.v_true).astype(_F32)[None, None, :, :]
+    return (rows < vtrue).astype(_F32)[None, None, :, :]
 
 
 def _cdt_of(cfg):
@@ -567,7 +570,7 @@ head_fused.defvjp(_head_fused_fwd, _head_fused_bwd)
 def _make_tail_fwd_kernel(cfg, b):
     nt = cfg.n_terms
 
-    def kernel(seed_ref, *refs):
+    def kernel(scal_ref, *refs):
         xg_ref = refs[0]
         term_refs = refs[1:1 + nt]
         gcw, gcb, c2k, c2b = refs[1 + nt:5 + nt]
@@ -577,7 +580,7 @@ def _make_tail_fwd_kernel(cfg, b):
                         (gcw[...], gcb[...], c2k[...], c2b[...]))
         a2 = fw["a2"]
         a2_ref[...] = _vc2cv(a2)
-        vm = _vmask(cfg)
+        vm = _vmask(cfg, scal_ref[0])
         a32 = a2.astype(_F32) * vm
         # LN partials accumulate across the inner vertex sweep (their
         # [bt, T2, 1, 1] block is constant in the vertex grid dim)
@@ -595,7 +598,7 @@ def _make_tail_fwd_kernel(cfg, b):
 def _make_tail_bwd_kernel(cfg, b):
     nt = cfg.n_terms
 
-    def kernel(seed_ref, *refs):
+    def kernel(scal_ref, *refs):
         xg_ref = refs[0]
         term_refs = refs[1:1 + nt]
         gcw, gcb, c2k, c2b = refs[1 + nt:5 + nt]
@@ -609,7 +612,7 @@ def _make_tail_bwd_kernel(cfg, b):
         fw = _tail_core(cfg, xg, terms, w)
         # fold the LN-partial cotangents into da2 (masked to true rows):
         # ps = Σ a2, pss = Σ a2² over (tile rows, c2) per (b, t2)
-        vm = _vmask(cfg)
+        vm = _vmask(cfg, scal_ref[0])
         da2 = (_cv2vc(ga2_ref[...]).astype(_F32)
                + (gps_ref[...]
                   + 2.0 * gpss_ref[...] * fw["a2"].astype(_F32))
@@ -634,7 +637,7 @@ def _make_tail_bwd_kernel(cfg, b):
     return kernel
 
 
-def _tail_pallas(cfg, xg, terms, w):
+def _tail_pallas(cfg, vtrue, xg, terms, w):
     b = xg.shape[0]
     bt, grid = _grid_of(cfg, b)
     gcw, gcb, c2k, c2b = w
@@ -674,10 +677,11 @@ def _tail_pallas(cfg, xg, terms, w):
         ),
         compiler_params=_compiler_params(),
         interpret=cfg.interpret,
-    )(jnp.zeros((1,), jnp.int32), xg, *terms, gcw, gcb, c2k, c2b)
+    )(jnp.asarray(vtrue, jnp.int32).reshape(1), xg, *terms,
+      gcw, gcb, c2k, c2b)
 
 
-def _tail_pallas_bwd(cfg, xg, terms, w, ga2, gps, gpss):
+def _tail_pallas_bwd(cfg, vtrue, xg, terms, w, ga2, gps, gpss):
     b = xg.shape[0]
     bt, grid = _grid_of(cfg, b)
     gcw, gcb, c2k, c2b = w
@@ -716,39 +720,42 @@ def _tail_pallas_bwd(cfg, xg, terms, w, ga2, gps, gpss):
         ),
         compiler_params=_compiler_params(),
         interpret=cfg.interpret,
-    )(jnp.zeros((1,), jnp.int32), xg, *terms, gcw, gcb, c2k, c2b,
-      ga2, gps, gpss)
+    )(jnp.asarray(vtrue, jnp.int32).reshape(1), xg, *terms,
+      gcw, gcb, c2k, c2b, ga2, gps, gpss)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def tail_fused(cfg, xg, t_a, t_b, gcw, gcb, c2k, c2b):
+def tail_fused(cfg, vtrue, xg, t_a, t_b, gcw, gcb, c2k, c2b):
     """Fused block tail; all big operands channel-before-vertex
     (see :func:`_cv2vc`). ``t_a``/``t_b``: the graph outputs (``t_b`` is
     ignored when only one term exists — pass ``t_a`` again). Returns
     ``(a2 [B, T2, c2, V_pad], psum [B, T2, 1, 1], psumsq [B, T2, 1, 1])``
     — the pre-LN activation plus masked LayerNorm partial sums (already
-    reduced over all vertex tiles)."""
+    reduced over all vertex tiles). ``vtrue``: dynamic true-row count
+    (per-shard under a vertex-partitioned mesh; ``cfg.v_true`` otherwise,
+    see :func:`_vmask`)."""
     terms = [t_a, t_b][: cfg.n_terms]
-    return _tail_pallas(cfg, xg, terms, (gcw, gcb, c2k, c2b))
+    return _tail_pallas(cfg, vtrue, xg, terms, (gcw, gcb, c2k, c2b))
 
 
-def _tail_fused_fwd(cfg, xg, t_a, t_b, *w):
+def _tail_fused_fwd(cfg, vtrue, xg, t_a, t_b, *w):
     terms = [t_a, t_b][: cfg.n_terms]
-    outs = _tail_pallas(cfg, xg, terms, w)
-    return outs, (xg, terms, w)
+    outs = _tail_pallas(cfg, vtrue, xg, terms, w)
+    return outs, (vtrue, xg, terms, w)
 
 
 def _tail_fused_bwd(cfg, res, gs):
-    xg, terms, w = res
+    vtrue, xg, terms, w = res
     ga2, gps, gpss = gs
-    outs = _tail_pallas_bwd(cfg, xg, terms, w, ga2.astype(xg.dtype),
+    outs = _tail_pallas_bwd(cfg, vtrue, xg, terms, w, ga2.astype(xg.dtype),
                             gps.astype(_F32), gpss.astype(_F32))
     dxg = outs[0]
     dterms = list(outs[1:1 + cfg.n_terms])
     dgcw, dgcb, dc2k, dc2b = outs[1 + cfg.n_terms:]
     while len(dterms) < 2:
         dterms.append(jnp.zeros_like(xg))
-    return (dxg, dterms[0], dterms[1],
+    vtrue_bar = np.zeros(jnp.shape(vtrue), jax.dtypes.float0)
+    return (vtrue_bar, dxg, dterms[0], dterms[1],
             dgcw.astype(w[0].dtype), dgcb[0].astype(w[1].dtype),
             dc2k.astype(w[2].dtype), dc2b[0].astype(w[3].dtype))
 

@@ -102,8 +102,8 @@ def _graph_terms(cfg: VertexBlockCfg, gop: Any, xg: jax.Array):
     return jnp.swapaxes(t1, -1, -2), jnp.swapaxes(t2, -1, -2)
 
 
-def _st_block(cfg: VertexBlockCfg, gop: Any, seed, head_in, mu, rstd,
-              lng_p, lnb_p, w):
+def _st_block(cfg: VertexBlockCfg, gop: Any, seed, vtrue, head_in, mu,
+              rstd, lng_p, lnb_p, w):
     """One ST block: head kernel → graph aggregation → tail kernel.
     A standalone function (cfg static, everything else pytree args) so it
     can be wrapped in ``jax.checkpoint``. All activations cv-layout."""
@@ -111,7 +111,96 @@ def _st_block(cfg: VertexBlockCfg, gop: Any, seed, head_in, mu, rstd,
     xg = head_fused(cfg, seed, head_in, mu, rstd, lng_p, lnb_p,
                     c1k, c1b, gaw, gab)
     t_a, t_b = _graph_terms(cfg, gop, xg)
-    return tail_fused(cfg, xg, t_a, t_b, gcw, gcb, c2k, c2b)
+    return tail_fused(cfg, vtrue, xg, t_a, t_b, gcw, gcb, c2k, c2b)
+
+
+def _st_block_sharded(cfg: VertexBlockCfg, gop: Any, seed, vtrue_g,
+                      head_in, mu, rstd, lng_p, lnb_p, w):
+    """Sharded ST block: head/tail kernels run per vertex shard inside one
+    ``shard_map`` over ``(data, graph)``, the aggregation is the per-shard
+    boundary-halo SpMM (:func:`stgcn_tpu.dist.halo.halo_spmm_local`), and
+    the LayerNorm partial sums ``psum`` over the graph axis. ``cfg.v_pad``
+    is the PER-SHARD vertex count; ``vtrue_g`` the global one (each
+    shard's true-row count is derived from its axis index — partitions
+    are equal-size with padding only on the global tail,
+    `graph/partition.py:60-73`)."""
+    from jax.sharding import PartitionSpec as P
+
+    from stgcn_tpu.dist.halo import halo_spmm_local, shard_map
+
+    mesh, ax = gop.mesh, gop.axis
+    hcfg = gop._cfg
+    s_local = cfg.v_pad
+    quant = gop.scales is not None
+    axes = [a for a in ("data", ax) if a in mesh.shape]
+
+    def body(seed_, vtrue_g_, head_in_, mu_, rstd_, lng_, lnb_,
+             slabs, lo, slabs_t, lo_t, scales, scales_t, *w_):
+        slabs, lo = slabs[0], lo[0]
+        slabs_t, lo_t = slabs_t[0], lo_t[0]
+        scales = None if scales is None else scales[0]
+        scales_t = None if scales_t is None else scales_t[0]
+        gi = lax.axis_index(ax)
+        vtrue = jnp.clip(vtrue_g_ - gi * s_local, 0, s_local)
+        seed_loc = seed_ + gi.astype(jnp.int32) * jnp.int32(7919)
+        if "data" in mesh.shape:
+            seed_loc = seed_loc + lax.axis_index("data").astype(
+                jnp.int32) * jnp.int32(104729)
+        c1k, c1b, gaw, gab, gcw, gcb, c2k, c2b = w_
+
+        # pad the local batch to the tile multiple (see module docstring)
+        b_loc = head_in_.shape[0]
+        bt = cfg.b_tile or b_loc
+        b_pad = -(-b_loc // bt) * bt
+        if b_pad != b_loc:
+            pb = ((0, b_pad - b_loc),)
+            head_in_ = jnp.pad(head_in_, pb + ((0, 0),) * 3)
+            mu_ = jnp.pad(mu_, pb + ((0, 0),) * 3)
+            rstd_ = jnp.pad(rstd_, pb + ((0, 0),) * 3)
+
+        xg = head_fused(cfg, seed_loc, head_in_, mu_, rstd_, lng_, lnb_,
+                        c1k, c1b, gaw, gab)
+
+        def gapply(x_cv, scale=None):
+            x_vn = _vn(x_cv)
+            if scale is None:
+                y = halo_spmm_local(hcfg, slabs, lo, slabs_t, lo_t, x_vn,
+                                    scales, scales_t)
+            elif quant:  # fold the scalar into the dequant scales
+                y = halo_spmm_local(hcfg, slabs, lo, slabs_t, lo_t, x_vn,
+                                    scales * scale, scales_t * scale)
+            else:
+                y = halo_spmm_local(hcfg, slabs * scale, lo,
+                                    slabs_t * scale, lo_t, x_vn,
+                                    None, None)
+            return _from_vn(y, x_cv)
+
+        if cfg.ks == 1 and cfg.graph_conv_type == "cheb_graph_conv":
+            t_a = t_b = xg
+        elif cfg.graph_conv_type == "graph_conv" or cfg.ks == 2:
+            t_a = t_b = gapply(xg)
+        else:  # ks == 3: T2's aggregation needs T1's halo — two passes
+            t_a = gapply(xg)
+            t_b = gapply(t_a, 2.0) - xg
+
+        a2, ps, pss = tail_fused(cfg, vtrue, xg, t_a, t_b,
+                                 gcw, gcb, c2k, c2b)
+        ps = lax.psum(ps, ax)
+        pss = lax.psum(pss, ax)
+        return a2[:b_loc], ps[:b_loc], pss[:b_loc]
+
+    d = "data" if "data" in mesh.shape else None
+    act = P(d, None, None, ax)
+    stat = P(d, None, None, None)
+    in_specs = (P(), P(), act, stat, stat, P(None, ax), P(None, ax),
+                P(ax), P(ax), P(ax), P(ax),
+                P(ax) if quant else P(), P(ax) if quant else P(),
+                *([P()] * 8))
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+                   out_specs=(act, stat, stat))
+    return fn(seed, vtrue_g, head_in, mu, rstd, lng_p, lnb_p,
+              gop.slabs, gop.lo, gop.slabs_t, gop.lo_t,
+              gop.scales, gop.scales_t, *w)
 
 
 def _block_weights(blk: dict, graph_conv_type: str):
@@ -166,7 +255,19 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
         rngs = None if (deterministic or rng is None) else {"dropout": rng}
         return model.apply({"params": params}, x, gop,
                            deterministic=deterministic, rngs=rngs)
-    v_pad = _round_up(gv, tile_v)
+    sharded = hasattr(gop, "mesh") and hasattr(gop, "halo")
+    if sharded:
+        v_pad = gv  # per-shard sizes are fixed by the partition
+        n_graph = gop.mesh.shape[gop.axis]
+        s_local = v_pad // n_graph
+        if s_local % tile_v:
+            raise ValueError(f"per-shard vertices {s_local} not a multiple "
+                             f"of tile_v {tile_v}")
+        b_eff = b_in // gop.mesh.shape.get("data", 1)  # per-shard batch
+    else:
+        v_pad = _round_up(gv, tile_v)
+        s_local = v_pad
+        b_eff = b_in
     if precision == "auto":
         precision = "bfloat16" if model.dtype == jnp.bfloat16 else "default"
     cdt = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
@@ -200,22 +301,24 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
         cfgs.append(VertexBlockCfg(
             kt=model.kt, ks=model.ks, act_func=model.act_func,
             graph_conv_type=model.graph_conv_type, droprate=model.droprate,
-            v_true=v_true, v_pad=v_pad, t_in=cur_t, c_in=c_in,
-            c0=c0, c1=c1, c2=c2, tile_v=tile_v,
+            v_true=min(v_true, s_local), v_pad=s_local, t_in=cur_t,
+            c_in=c_in, c0=c0, c1=c1, c2=c2, tile_v=tile_v,
             apply_ln=(l > 0), training=training,
             interpret=interpret, precision=precision))
         cur_t = cfgs[-1].t2
         c_in = max(c2, 8)
     if b_tile is None:
-        b_tile = min(pick_b_tile(c, b_in) for c in cfgs)
+        b_tile = min(pick_b_tile(c, b_eff) for c in cfgs)
     cfgs = [dataclasses.replace(c, b_tile=b_tile) for c in cfgs]
-    b = -(-b_in // b_tile) * b_tile
-    if b != b_in:
-        x = jnp.pad(x, ((0, b - b_in), (0, 0), (0, 0), (0, 0)))
+    b = b_in
+    if not sharded:  # sharded blocks pad their local batch internally
+        b = -(-b_in // b_tile) * b_tile
+        if b != b_in:
+            x = jnp.pad(x, ((0, b - b_in), (0, 0), (0, 0), (0, 0)))
 
-    blk_fn = _st_block
+    blk_fn = _st_block_sharded if sharded else _st_block
     if remat:
-        blk_fn = jax.checkpoint(_st_block, static_argnums=(0,))
+        blk_fn = jax.checkpoint(blk_fn, static_argnums=(0,))
 
     state = None  # (a2, mu, rstd, lng_pad, lnb_pad) awaiting normalize
     for l in range(n_st):
@@ -247,8 +350,8 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
              gaw.astype(cdt), gab.astype(jnp.float32),
              gcw.astype(cdt), gcb.astype(jnp.float32),
              c2k.astype(cdt), c2b.astype(jnp.float32))
-        a2, ps, pss = blk_fn(cfg, gop, seeds[l], head_in, mu, rstd,
-                             lng_p, lnb_p, w)
+        a2, ps, pss = blk_fn(cfg, gop, seeds[l], jnp.int32(v_true),
+                             head_in, mu, rstd, lng_p, lnb_p, w)
 
         denom = float(v_true * cfg.c2)
         mu = ps / denom                                      # [B, T2, 1, 1]

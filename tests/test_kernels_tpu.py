@@ -322,3 +322,43 @@ def test_vertex_fused_on_tpu(tpu_setup):
 
     flat, _ = jax.flatten_util.ravel_pytree(g)
     assert bool(jnp.all(jnp.isfinite(flat)))
+
+
+def test_sharded_fused_p1_on_tpu(tpu_setup):
+    """Vertex-fused blocks through the sharded (shard_map + halo) path on
+    the real chip at P=1: shard_map-wrapped Pallas kernels + the local
+    halo SpMM must match the single-chip fused path exactly."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from stgcn_tpu.dist import banded_sharded_graph_op
+    from stgcn_tpu.nn.fused_sparse import fused_sparse_forward
+    from stgcn_tpu.nn.model import STGCN
+
+    s = tpu_setup
+    mesh = Mesh(np.array(jax.devices()[:1]), ("graph",))
+    sop, part = banded_sharded_graph_op(s["art"], mesh, block_size=128)
+    model = STGCN(n_his=12)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 12, s["n"], 1)), jnp.float32)
+    xp = x[:, :, part.perm, :]
+    params = model.init(jax.random.PRNGKey(0), xp, sop,
+                        deterministic=True)["params"]
+    y_ref = jax.jit(lambda p: model.apply(
+        {"params": p}, xp, sop, deterministic=True))(params)
+    y_sh = jax.jit(lambda p: fused_sparse_forward(
+        p, xp, sop, model, deterministic=True))(params)
+    err = float(jnp.abs(y_sh - y_ref).max())
+    assert err < 2e-4, err
+
+    def loss(p):
+        y = fused_sparse_forward(p, xp, sop, model, deterministic=False,
+                                 rng=jax.random.PRNGKey(5))
+        return jnp.mean(y ** 2)
+
+    g = jax.jit(jax.grad(loss))(params)
+    import jax.flatten_util
+
+    flat, _ = jax.flatten_util.ravel_pytree(g)
+    assert bool(jnp.all(jnp.isfinite(flat)))

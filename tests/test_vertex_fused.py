@@ -139,6 +139,88 @@ def test_remat_matches_unremat():
         a_, b_, atol=1e-6, rtol=1e-6), g0, g1)
 
 
+@pytest.mark.parametrize("graph_ax,quantize", [(2, False), (4, False),
+                                               (4, True)])
+def test_sharded_fused_matches_single_device(graph_ax, quantize):
+    """Vertex-fused blocks under a vertex-partitioned mesh (shard_map +
+    per-shard halo SpMM + psum'd LN stats) == the single-device unfused
+    model, values and gradients (virtual CPU mesh)."""
+    from stgcn_tpu.dist import banded_sharded_graph_op, make_mesh
+
+    adj = random_road_graph(V, k_neighbors=4, seed=0)
+    art = build_gso(adj, "sym_norm_lap", cheb=True)
+    mesh = make_mesh(data=1, graph=graph_ax)
+    sop, part = banded_sharded_graph_op(art, mesh, block_size=128,
+                                        use_pallas=False,
+                                        quantize=quantize)
+    model = STGCN(n_his=T)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((B, T, V, 1)), jnp.float32)
+    xp = x[:, :, part.perm, :]
+    # oracle: single-device dense op on the SAME (permuted) vertex order
+    dart = dataclasses.replace(
+        art, matrix=permute_matrix(art.matrix, part.perm))
+    dop = banded_graph_op(dart, block_size=128, use_pallas=False)
+    params = model.init(jax.random.PRNGKey(3), xp, dop,
+                        deterministic=True)["params"]
+
+    y_ref = model.apply({"params": params}, xp, dop, deterministic=True)
+    y_sh = fused_sparse_forward(params, xp, sop, model, deterministic=True,
+                                interpret=True)
+    atol = 2e-2 if quantize else 2e-4
+    np.testing.assert_allclose(y_sh, y_ref, atol=atol, rtol=1e-2)
+
+    def loss_ref(p):
+        y = model.apply({"params": p}, xp, dop, deterministic=True)
+        return jnp.sum(y * jnp.cos(y))
+
+    def loss_sh(p):
+        # remat=True also covers checkpoint-wrapped sharded blocks
+        y = fused_sparse_forward(p, xp, sop, model, deterministic=True,
+                                 interpret=True, remat=True)
+        return jnp.sum(y * jnp.cos(y))
+
+    gr = jax.grad(loss_ref)(params)
+    gs = jax.grad(loss_sh)(params)
+    fr, _ = jax.flatten_util.ravel_pytree(gr)
+    fs, _ = jax.flatten_util.ravel_pytree(gs)
+    rel = float(jnp.linalg.norm(fs - fr) / (jnp.linalg.norm(fr) + 1e-12))
+    assert rel < (3e-2 if quantize else 1e-4), rel
+
+
+def test_sharded_fused_training_mode():
+    """Sharded fused blocks run in training mode (dropout via the on-core
+    PRNG per shard) with finite grads, under a data x graph mesh.
+    remat stays off here: the Mosaic TPU interpreter's ordered-IO effect
+    cannot live under jax.checkpoint (real-TPU lowering has no such
+    effect; remat x sharded is covered by the equivalence test above)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from stgcn_tpu.dist import banded_sharded_graph_op, make_mesh
+
+    adj = random_road_graph(V, k_neighbors=4, seed=0)
+    art = build_gso(adj, "sym_norm_lap", cheb=True)
+    mesh = make_mesh(data=2, graph=2)
+    sop, part = banded_sharded_graph_op(art, mesh, block_size=128,
+                                        use_pallas=False)
+    model = STGCN(n_his=T)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, T, V, 1)), jnp.float32)
+    xp = x[:, :, part.perm, :]
+    params = model.init(jax.random.PRNGKey(3), xp, sop,
+                        deterministic=True)["params"]
+    ip = pltpu.InterpretParams()
+
+    def loss(p):
+        y = fused_sparse_forward(p, xp, sop, model, deterministic=False,
+                                 rng=jax.random.PRNGKey(5), interpret=ip)
+        return jnp.mean(y ** 2)
+
+    g = jax.grad(loss)(params)
+    flat, _ = jax.flatten_util.ravel_pytree(g)
+    assert np.all(np.isfinite(flat))
+
+
 def test_bf16_forward_close():
     """bf16 compute tracks the f32 reference to bf16 tolerance."""
     model, gop, x, params = _setup()
