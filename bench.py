@@ -233,7 +233,9 @@ def bench_train_100k(n_vertex=100_000, batch=8, reps=8):
             up, s2 = tx.update(grads, s, p)
             return optax.apply_updates(p, up), s2, l
 
-        p, s = params, tx.init(params)
+        # the step donates (p, s): give each measurement its own buffers
+        p = jax.tree.map(jnp.copy, params)
+        s = tx.init(p)
         p, s, l = step(p, s, gop, x, key)
         device_sync(l)
         t0 = time.time()
