@@ -50,10 +50,15 @@ def build(stage):
                     BT, TILE_V, T1 * C1)
                 return
             # stage 5: + full-width gate ([all p | all q] layout) + align
-            s_full = s_full.astype(_BF16)
+            # stage 6: same but gate stays f32 (no bf16 round trip)
             half = T1 * C0
-            p, q = s_full[:, :half], s_full[:, half:]
-            a1 = p * _sig(q)                      # xin folded into W
+            if stage == 5:
+                s_full = s_full.astype(_BF16)
+                p, q = s_full[:, :half], s_full[:, half:]
+                a1 = p * _sig(q)                  # xin folded into W
+            else:
+                p, q = s_full[:, :half], s_full[:, half:]
+                a1 = (p * jax.nn.sigmoid(q)).astype(_BF16)
             outs5 = []
             for t in range(T1):
                 a1_t = a1[:, t * C0:(t + 1) * C0]
@@ -125,8 +130,9 @@ def main():
     ga = jnp.asarray(rng.standard_normal((C0, C1)) * 0.1, _BF16)
     names = ["dot only          ", "+ gate            ",
              "+ align dot+concat", "+ align, slice-wr ",
-             "folded dot only   ", "folded + gate+algn"]
-    for stage in (0, 1, 2, 3, 4, 5):
+             "folded dot only   ", "folded + gate+algn",
+             "folded, f32 gate  "]
+    for stage in (0, 1, 2, 3, 4, 5, 6):
         dt = run(stage, x, wk, ga)
         print(f"stage {stage} {names[stage]}: {dt*1e3:7.2f} ms", flush=True)
 
