@@ -61,22 +61,28 @@ def _ring_spmm_local(a_block: jax.Array, x_local: jax.Array, *, axis: str,
     s, n = x_local.shape
     perm = [(i, (i - 1) % n_parts) for i in range(n_parts)]
 
-    def body(k, carry):
-        y, x_cur = carry
+    def _tile_dot(k, x_cur):
         owner = (p + k) % n_parts
         a_tile = lax.dynamic_slice(a_block, (0, owner * s), (s, s))
+        return jnp.dot(a_tile, x_cur, preferred_element_type=jnp.float32,
+                       precision=precision)
+
+    def body(k, carry):
+        y, x_cur = carry
         # forward the block first so the permute overlaps the matmul
         x_next = lax.ppermute(x_cur, axis, perm)
-        y = y + jnp.dot(a_tile, x_cur, preferred_element_type=jnp.float32,
-                        precision=precision)
-        return y, x_next
+        return y + _tile_dot(k, x_cur), x_next
 
     zeros = jnp.zeros((s, n), jnp.float32)
     if hasattr(lax, "pcast"):
         y0 = lax.pcast(zeros, (axis,), to="varying")
     else:  # older jax
         y0 = lax.pvary(zeros, (axis,))
-    y, _ = lax.fori_loop(0, n_parts, body, (y0, x_local))
+    # the last step's dot runs outside the loop: its permute result would
+    # be discarded, so looping to n_parts would ship one wasted [s, N]
+    # block around the ring per call
+    y, x_last = lax.fori_loop(0, n_parts - 1, body, (y0, x_local))
+    y = y + _tile_dot(n_parts - 1, x_last)
     return y.astype(x_local.dtype)
 
 
@@ -117,14 +123,13 @@ class ShardedGraphOp(struct.PyTreeNode):
         blocks = self.blocks if isinstance(scale, float) and scale == 1.0 \
             else self.blocks * scale
         x_vn, lead_c = _fold_to_vn(x)
-        pad = self.n_vertex_pad - x_vn.shape[0]
+        v = x_vn.shape[0]
+        pad = self.n_vertex_pad - v
         if pad:
             x_vn = jnp.pad(x_vn, ((0, pad), (0, 0)))
         y = ring_spmm(blocks, x_vn, self.mesh, axis=self.axis,
                       precision=self.precision)
-        if pad:
-            y = y[:x_vn.shape[0] - pad]
-        return _unfold_from_vn(y, lead_c)
+        return _unfold_from_vn(y[:v], lead_c)
 
 
 def sharded_graph_op(gso: GraphShiftOperator, mesh: Mesh, *, axis: str = "graph",

@@ -132,7 +132,6 @@ def _st_block_sharded(cfg: VertexBlockCfg, gop: Any, seed, vtrue_g,
     hcfg = gop._cfg
     s_local = cfg.v_pad
     quant = gop.scales is not None
-    axes = [a for a in ("data", ax) if a in mesh.shape]
 
     def body(seed_, vtrue_g_, head_in_, mu_, rstd_, lng_, lnb_,
              slabs, lo, slabs_t, lo_t, scales, scales_t, *w_):
@@ -278,12 +277,12 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
     if training:
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        seeds = jax.random.randint(rng, (n_st + 1,), 0,
+        seeds = jax.random.randint(rng, (n_st,), 0,
                                    jnp.iinfo(jnp.int32).max)
         out_rng = jax.random.fold_in(rng, 0x0FF5E7)
         drop_rng = jax.random.fold_in(rng, 0xD409)
     else:
-        seeds = jnp.zeros((n_st + 1,), jnp.int32)
+        seeds = jnp.zeros((n_st,), jnp.int32)
         out_rng = drop_rng = None
 
     x = x.astype(cdt)

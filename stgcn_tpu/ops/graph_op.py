@@ -161,9 +161,6 @@ class BandedGraphOp(struct.PyTreeNode):
         from stgcn_tpu.kernels import banded_spmm as bk
 
         v = x_vn.shape[0]
-        pad = self.v_pad - v
-        if pad:
-            x_vn = jnp.pad(x_vn, ((0, pad), (0, 0)))
         # past the resident-x scale the streaming pair wins (measured 1.68x
         # over two applications at 1M-vertex int8); at resident scale two
         # resident single applications are faster (stream refetches the x
@@ -172,18 +169,23 @@ class BandedGraphOp(struct.PyTreeNode):
         x_bytes = self.v_pad * x_vn.shape[1] * x_vn.dtype.itemsize
         resident = x_bytes + 2 * bs * w * self.slabs.dtype.itemsize \
             < bk._RESIDENT_X_BYTES
-        if self.pair_stream and not resident:
+        use_stream = self.pair_stream and not resident
+        if not use_stream and (self.scales is not None or not self.pair_safe):
+            # quantized pack without a stream-compatible layout, or a band
+            # violating the wavefront schedule: two single applications
+            # (apply_vn pads internally — no upfront pad here)
+            t1 = self.apply_vn(x_vn)
+            return t1, self.apply_vn(t1, scale=2.0) - x_vn
+        pad = self.v_pad - v
+        if pad:
+            x_vn = jnp.pad(x_vn, ((0, pad), (0, 0)))
+        if use_stream:
             # streaming pair: one slab pass, no x residency — the int8 /
             # beyond-resident-scale path (pack has block-aligned
             # diagonal-containing windows)
             t1, t2 = bk.banded_cheb_pair_stream_vjp(
                 self.slabs, self.lo, self.slabs_t, self.lo_t, x_vn,
                 self.scales, self.scales_t, self.use_pallas)
-        elif self.scales is not None or not self.pair_safe:
-            # quantized pack without a stream-compatible layout, or a band
-            # violating the wavefront schedule: two single applications
-            t1 = self.apply_vn(x_vn[:v])
-            return t1, self.apply_vn(t1, scale=2.0) - x_vn[:v]
         else:
             t1, t2 = bk.banded_cheb_pair_vjp(self.slabs, self.lo,
                                              self.slabs_t, self.lo_t, x_vn,
