@@ -538,58 +538,113 @@ def cheb_pair_stream_safe(lo, w: int, block_size: int) -> bool:
                 and (lo + w >= (i + 1) * block_size).all())
 
 
-def _make_cheb_pair_stream_kernel(bs: int, w: int, n: int, nbr: int,
-                                  delay: int, rn: int, rs: int,
-                                  precision, quantized: bool):
-    """Wavefront schedule without x residency: stage 1 streams block i's x
-    window from HBM (double-buffered) and computes T1 block i; stage 2
-    computes T2 block i−delay from a VMEM ring of recent T1 blocks — the
-    slab block is replayed from a ring filled by stage 1, so the operator
-    (the dominant stream) crosses HBM exactly ONCE for both applications.
-    T2's aggregation runs as ``nw`` block-granular MXU dots against the T1
-    ring (windows are block-aligned by the pack), avoiding any gathered
-    window copy."""
+def _make_cheb_pair_stream_kernel(bs: int, w: int, n: int, nbr: int, nxb: int,
+                                  delay: int, rn: int, rs: int, rx: int,
+                                  precision, quantized: bool,
+                                  chain: bool = False):
+    """Wavefront schedule without x residency — and with each x block
+    fetched from HBM exactly ONCE. Stage 1 computes T1 block i as ``nw``
+    block-granular MXU dots against a VMEM ring of x blocks (the pack's
+    windows are block-aligned, so no gathered window copy); the per-step
+    DMA brings in only the single NEW block the next window needs —
+    adjacent windows overlap by ``(w−bs)/w``, which the former
+    whole-window DMA refetched ``w/bs``× from HBM. Stage 2 computes T2
+    block i−delay from a ring of recent T1 blocks, replaying the slab
+    block from a ring filled by stage 1, so the operator stream also
+    crosses HBM exactly once for both applications.
+
+    ``chain=True`` computes the VJP chain instead (see
+    :func:`banded_chain_stream`): stage 1 stores ``u = g + 2·(A x)`` in
+    the ring (streaming the extra ``g`` diagonal blocks, double-buffered)
+    and emits it as out1; stage 2 emits ``A u − x_diag`` (no 2× factor).
+    """
     nw = w // bs
 
     def kernel(lo_ref, slab_ref, *rest):
+        rest = list(rest)
+        scale1_ref = scale2_ref = g_hbm = None
         if quantized:
-            (scale1_ref, scale2_ref, x_hbm, t1_ref, t2_ref,
-             x_buf, sem, t1_ring, slab_ring, xdiag_ring) = rest
+            scale1_ref, scale2_ref = rest[:2]
+            rest = rest[2:]
+        x_hbm = rest.pop(0)
+        if chain:
+            g_hbm = rest.pop(0)
+        t1_ref, t2_ref, x_ring, sem = rest[:4]
+        if chain:
+            g_buf, gsem = rest[4:6]
+            t1_ring, slab_ring = rest[6:]
         else:
-            (x_hbm, t1_ref, t2_ref,
-             x_buf, sem, t1_ring, slab_ring, xdiag_ring) = rest
+            t1_ring, slab_ring = rest[4:]
         i = pl.program_id(0)
 
-        def get_dma(slot, ii):
-            start = pl.multiple_of(lo_ref[ii], 128)
+        def xdma(j):
+            # fetch x block j into ring slot j % rx
+            slot = pl.multiple_of((j % rx) * bs, bs)
             return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(start, w), :], x_buf.at[slot], sem.at[slot])
+                x_hbm.at[pl.ds(j * bs, bs), :],
+                x_ring.at[pl.ds(slot, bs), :], sem.at[j % rx])
+
+        def gdma(ii, slot):
+            return pltpu.make_async_copy(
+                g_hbm.at[pl.ds(ii * bs, bs), :], g_buf.at[slot],
+                gsem.at[slot])
 
         @pl.when(i == 0)
         def _warm():
-            get_dma(0, 0).start()
+            for j in range(min(nw, nxb)):  # blocks of window 0
+                xdma(j).start()
+            if chain:
+                gdma(0, 0).start()
 
-        @pl.when(i + 1 < nbr)
-        def _prefetch():
-            get_dma((i + 1) % 2, i + 1).start()
+        # stage 1 of step i+1 needs blocks < (lo[i+1]+w)/bs <= i+1+nw;
+        # issue the one new block now (everything older is already in ring)
+        @pl.when((i + 1 < nbr) & (i + nw < nxb))
+        def _issue_next():
+            xdma(i + nw).start()
+
+        if chain:
+            @pl.when(i + 1 < nbr)
+            def _issue_next_g():
+                gdma(i + 1, (i + 1) % 2).start()
 
         @pl.when(i < nbr)
         def _stage1():
-            get_dma(i % 2, i).wait()
-            xwin = x_buf[i % 2]
-            t1f = jnp.dot(_slab_block(slab_ref, xwin.dtype), xwin,
-                          preferred_element_type=jnp.float32,
-                          precision=precision)
+            # first (and only) use of block i+nw−1: wait its DMA here
+            if nxb >= nw:
+                @pl.when(i + nw - 1 < nxb)
+                def _wait_new():
+                    xdma(i + nw - 1).wait()
+
+            @pl.when(i == 0)
+            def _wait_warm():
+                for j in range(min(nw - 1, nxb)):
+                    xdma(j).wait()
+                if chain:
+                    gdma(0, 0).wait()
+
+            if chain:
+                @pl.when(i > 0)
+                def _wait_g():
+                    gdma(i, i % 2).wait()
+
+            b0 = lo_ref[i] // bs
+            slab0 = _slab_block(slab_ref, x_ring.dtype)
+            acc = jnp.zeros((bs, n), jnp.float32)
+            for k in range(nw):  # static unroll: nw block-granular dots
+                a_k = slab0[:, k * bs:(k + 1) * bs]
+                x_off = pl.multiple_of(((b0 + k) % rx) * bs, bs)
+                acc += jnp.dot(a_k, x_ring[pl.ds(x_off, bs), :],
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
             if quantized:
-                t1f = t1f * scale1_ref[0, 0][:, None]
-            t1c = t1f.astype(xwin.dtype)
+                acc = acc * scale1_ref[0, 0][:, None]
+            if chain:
+                acc = 2.0 * acc + g_buf[i % 2].astype(jnp.float32)
+            t1c = acc.astype(x_ring.dtype)
             t1_ref[...] = t1c
             t1_ring[pl.ds(pl.multiple_of((i % rn) * bs, bs), bs), :] = t1c
             slab_ring[pl.ds(pl.multiple_of((i % rs) * bs, bs), bs), :] = \
                 slab_ref[0]
-            off = pl.multiple_of(i * bs - lo_ref[i], 128)
-            xdiag_ring[pl.ds(pl.multiple_of((i % rs) * bs, bs), bs), :] = \
-                x_buf[i % 2, pl.ds(off, bs), :]
 
         i2 = i - delay
 
@@ -601,48 +656,48 @@ def _make_cheb_pair_stream_kernel(bs: int, w: int, n: int, nbr: int,
             s_off = pl.multiple_of((i2c % rs) * bs, bs)
             slab2 = slab_ring[pl.ds(s_off, bs), :]
             acc = jnp.zeros((bs, n), jnp.float32)
-            for k in range(nw):  # static unroll: nw block-granular dots
+            for k in range(nw):
                 a_k = slab2[:, k * bs:(k + 1) * bs]
                 if a_k.dtype == jnp.int8:
-                    a_k = a_k.astype(x_buf.dtype)
+                    a_k = a_k.astype(x_ring.dtype)
                 t_off = pl.multiple_of(((b0 + k) % rn) * bs, bs)
                 t1_k = t1_ring[pl.ds(t_off, bs), :]
                 acc += jnp.dot(a_k, t1_k,
                                preferred_element_type=jnp.float32,
                                precision=precision)
-            y2 = 2.0 * acc
+            y2 = acc if chain else 2.0 * acc
             if quantized:
                 y2 = y2 * scale2_ref[0, 0][:, None]
-            xdiag = xdiag_ring[pl.ds(s_off, bs), :]
+            xdiag = x_ring[pl.ds(pl.multiple_of((i2c % rx) * bs, bs), bs), :]
             t2_ref[...] = (y2 - xdiag.astype(jnp.float32)).astype(t2_ref.dtype)
 
     return kernel
 
 
-def banded_cheb_pair_stream(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
-                            scales: jax.Array | None = None,
-                            precision=None) -> tuple[jax.Array, jax.Array]:
-    """``(A x, 2 A (A x) − x)`` with A streamed from HBM once and NO x
-    residency requirement — the pair formulation for graphs past the
-    resident-x scale (1M+ vertices, int8 packs). Traffic per call ≈ one
-    slab stream + one x-window stream, vs 2× each for two applications:
-    asymptotically 2× faster when slab+window streams dominate.
-
-    Requires a ``contain_diag`` block-aligned pack
-    (:func:`cheb_pair_stream_safe`); the caller checks at pack time.
-    """
+def _pair_stream_call(slabs, lo, x, g, scales, precision):
+    """Shared driver for :func:`banded_cheb_pair_stream` (``g=None``) and
+    :func:`banded_chain_stream` (``g`` set)."""
     nbr, bs, w = slabs.shape
     v_pad, n = x.shape
     nw = w // bs
     delay = nw + 1
     rn = delay + nw   # T1 ring: oldest block needed is i2+1-nw, newest i2+nw-1
-    rs = delay + 1    # slab / x-diagonal rings
+    rs = delay + 1    # slab ring
+    rx = 2 * nw + 2   # x ring: block j last read (stage 2) at step j+nw+1;
+    #                   slot reused by block j+rx, issued at step j+nw+2
     n_pad = _round_up(n, 128)
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n)))
-    rows_pad = nbr * bs - v_pad
-    if rows_pad > 0:
-        x = jnp.pad(x, ((0, rows_pad), (0, 0)))
+        if g is not None:
+            g = jnp.pad(g, ((0, 0), (0, n_pad - n)))
+    # x must cover every window ([lo.max+w] <= pack v_pad) in whole blocks
+    x_rows = _round_up(max(v_pad, nbr * bs), bs)
+    if x_rows > v_pad:
+        x = jnp.pad(x, ((0, x_rows - v_pad), (0, 0)))
+    if g is not None and g.shape[0] < nbr * bs:
+        g = jnp.pad(g, ((0, nbr * bs - g.shape[0]), (0, 0)))
+    nxb = x_rows // bs
+    chain = g is not None
 
     quantized = scales is not None
     in_specs = [pl.BlockSpec((1, bs, w),
@@ -658,7 +713,21 @@ def banded_cheb_pair_stream(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
         args.append(scales.reshape(nbr, 1, bs))
     in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # x stays in HBM
     args.append(x)
+    if chain:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        args.append(g)
 
+    scratch = [
+        pltpu.VMEM((rx * bs, n_pad), x.dtype),     # x block ring
+        pltpu.SemaphoreType.DMA((rx,)),
+    ]
+    if chain:
+        scratch += [pltpu.VMEM((2, bs, n_pad), x.dtype),  # g diag blocks
+                    pltpu.SemaphoreType.DMA((2,))]
+    scratch += [
+        pltpu.VMEM((rn * bs, n_pad), x.dtype),     # T1 (or u) ring
+        pltpu.VMEM((rs * bs, w), slabs.dtype),     # slab ring
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nbr + delay,),
@@ -669,25 +738,19 @@ def banded_cheb_pair_stream(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
             pl.BlockSpec((bs, n_pad),
                          lambda i, lo_ref: (jnp.maximum(i - (nw + 1), 0), 0)),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, w, n_pad), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((rn * bs, n_pad), x.dtype),     # T1 ring
-            pltpu.VMEM((rs * bs, w), slabs.dtype),     # slab ring
-            pltpu.VMEM((rs * bs, n_pad), x.dtype),     # x diagonal ring
-        ],
+        scratch_shapes=scratch,
     )
     slab_bytes = slabs.size * slabs.dtype.itemsize
-    win_bytes = nbr * w * n_pad * x.dtype.itemsize
+    x_bytes = x.size * x.dtype.itemsize
     t1, t2 = pl.pallas_call(
-        _make_cheb_pair_stream_kernel(bs, w, n_pad, nbr, delay, rn, rs,
-                                      precision, quantized),
+        _make_cheb_pair_stream_kernel(bs, w, n_pad, nbr, nxb, delay, rn, rs,
+                                      rx, precision, quantized, chain),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nbr * bs, n_pad), x.dtype),
                    jax.ShapeDtypeStruct((nbr * bs, n_pad), x.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=4 * nbr * bs * w * n_pad,
-            bytes_accessed=slab_bytes + win_bytes
+            bytes_accessed=slab_bytes + (2 if chain else 1) * x_bytes
             + 2 * nbr * bs * n_pad * x.dtype.itemsize,
             transcendentals=0,
         ),
@@ -697,9 +760,42 @@ def banded_cheb_pair_stream(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
     if nbr * bs < v_pad:
         # contain_diag padding can exceed the row-block count; the missing
         # rows are all-zero A rows over all-zero x rows → t1 = t2 = 0
+        # (chain: u = g = 0 there too, g being a cotangent of those rows)
         pad = ((0, v_pad - nbr * bs), (0, 0))
         return jnp.pad(t1[:, :n], pad), jnp.pad(t2[:, :n], pad)
     return t1[:v_pad, :n], t2[:v_pad, :n]
+
+
+def banded_cheb_pair_stream(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
+                            scales: jax.Array | None = None,
+                            precision=None) -> tuple[jax.Array, jax.Array]:
+    """``(A x, 2 A (A x) − x)`` with A streamed from HBM once, NO x
+    residency requirement, and each x block fetched exactly once (block
+    ring — adjacent band windows overlap ~(w−bs)/w, which a whole-window
+    DMA would refetch w/bs× from HBM). Traffic per call ≈ one slab
+    stream + one x stream + the two outputs — the same bytes a single
+    resident-x application pays, for BOTH recurrence applications.
+
+    Requires a ``contain_diag`` block-aligned pack
+    (:func:`cheb_pair_stream_safe`); the caller checks at pack time.
+    """
+    return _pair_stream_call(slabs, lo, x, None, scales, precision)
+
+
+def banded_chain_stream(slabs_t: jax.Array, lo_t: jax.Array, g2: jax.Array,
+                        g1: jax.Array, *,
+                        scales_t: jax.Array | None = None,
+                        precision=None) -> tuple[jax.Array, jax.Array]:
+    """The Chebyshev pair's VJP chain in one slab pass:
+    ``(dT1, dx) = (g1 + 2 Aᵀ g2, Aᵀ dT1 − g2)``.
+
+    Same wavefront as :func:`banded_cheb_pair_stream` (pass the TRANSPOSE
+    pack): stage 1 computes ``u = g1 + 2 Aᵀ g2`` (streaming g1's diagonal
+    blocks alongside the g2 ring), stage 2 applies Aᵀ to the u prefix and
+    subtracts the g2 diagonal block. Halves the backward's slab traffic
+    vs two single applications and fetches g2 once.
+    """
+    return _pair_stream_call(slabs_t, lo_t, g2, g1, scales_t, precision)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
@@ -743,17 +839,23 @@ def _cheb_pair_stream_bwd(use_pallas, res, gs):
     g1, g2 = gs
     v_pad = x.shape[0]
 
-    def apply_t(g):
-        y = banded_spmm(slabs_t, lo_t, g, use_pallas=use_pallas,
-                        scales=scales_t)
-        if y.shape[0] > v_pad:
-            y = y[:v_pad]
-        elif y.shape[0] < v_pad:
-            y = jnp.pad(y, ((0, v_pad - y.shape[0]), (0, 0)))
-        return y
+    if use_pallas and jax.default_backend() == "tpu":
+        # one transpose-slab pass for the whole chain (the transpose pack
+        # shares the forward pack's stream-safe window layout)
+        dt1, dx = banded_chain_stream(slabs_t, lo_t, g2, g1,
+                                      scales_t=scales_t)
+    else:
+        def apply_t(g):
+            y = banded_spmm(slabs_t, lo_t, g, use_pallas=use_pallas,
+                            scales=scales_t)
+            if y.shape[0] > v_pad:
+                y = y[:v_pad]
+            elif y.shape[0] < v_pad:
+                y = jnp.pad(y, ((0, v_pad - y.shape[0]), (0, 0)))
+            return y
 
-    dt1 = g1 + 2.0 * apply_t(g2)
-    dx = apply_t(dt1) - g2
+        dt1 = g1 + 2.0 * apply_t(g2)
+        dx = apply_t(dt1) - g2
     if scales is not None:
         return (jnp.zeros_like(slabs), None, None, None, dx, None, None)
 

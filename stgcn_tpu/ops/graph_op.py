@@ -161,15 +161,11 @@ class BandedGraphOp(struct.PyTreeNode):
         from stgcn_tpu.kernels import banded_spmm as bk
 
         v = x_vn.shape[0]
-        # past the resident-x scale the streaming pair wins (measured 1.68x
-        # over two applications at 1M-vertex int8); at resident scale two
-        # resident single applications are faster (stream refetches the x
-        # window w/bs times) — mirror banded_spmm's residency rule
-        nbr, bs, w = self.slabs.shape
-        x_bytes = self.v_pad * x_vn.shape[1] * x_vn.dtype.itemsize
-        resident = x_bytes + 2 * bs * w * self.slabs.dtype.itemsize \
-            < bk._RESIDENT_X_BYTES
-        use_stream = self.pair_stream and not resident
+        # stream-safe packs always take the streaming pair: with the x
+        # block ring it pays slabs + x + outputs — the bytes of ONE
+        # resident application — for both recurrence applications, at any
+        # width (no residency requirement)
+        use_stream = self.pair_stream
         if not use_stream and (self.scales is not None or not self.pair_safe):
             # quantized pack without a stream-compatible layout, or a band
             # violating the wavefront schedule: two single applications
@@ -233,7 +229,8 @@ def bcsr_graph_op(gso: GraphShiftOperator, *, block_size: int = 256,
 
 def banded_graph_op(gso: GraphShiftOperator, *, dtype=jnp.float32,
                     use_pallas: bool = True, quantize: bool = False,
-                    block_size: int | None = None) -> BandedGraphOp:
+                    block_size: int | None = None,
+                    stream: bool = True) -> BandedGraphOp:
     # measured on v5e (100k RCM road graph): 256-row slabs fastest at
     # eval widths (n=128, resident-x); 512-row slabs ~1.13x faster at
     # training widths (n~1280, streaming: wider slabs cut the window
@@ -242,18 +239,21 @@ def banded_graph_op(gso: GraphShiftOperator, *, dtype=jnp.float32,
     from stgcn_tpu.kernels.banded_spmm import cheb_pair_wavefront_safe
 
     bs = block_size or 256
-    if quantize:
-        # int8 slabs with per-row output scales, scattered on device from
-        # COO (the only representation that fits HBM at 1M+ vertices).
-        # Packed with block-aligned diagonal-containing windows so the
-        # STREAMING cheb-pair kernel can run both recurrence applications
-        # in one slab pass (see banded_cheb_pair_stream).
+    if stream or quantize:
+        # Block-aligned diagonal-containing windows (col_align = bs) so
+        # the STREAMING cheb-pair / chain kernels can run both recurrence
+        # applications in one slab pass with each x block fetched once
+        # (banded_cheb_pair_stream) — measured faster than two single
+        # applications at every width despite the wider slabs. int8 adds
+        # per-row output scales (the only representation that fits HBM at
+        # 1M+ vertices). Slabs are scattered on device from COO.
         import scipy.sparse as sp
 
         from stgcn_tpu.kernels.banded_spmm import (_window_meta,
                                                    cheb_pair_stream_safe,
                                                    pack_banded_device)
 
+        sdt = jnp.int8 if quantize else dtype
         csr = sp.csr_matrix(gso.matrix)
         csr_t = csr.T.tocsr()
         # asymmetric matrices can have different natural paddings; pack
@@ -261,19 +261,25 @@ def banded_graph_op(gso: GraphShiftOperator, *, dtype=jnp.float32,
         _, _, _, vp_f = _window_meta(csr, bs, bs, contain_diag=True)
         _, _, _, vp_t = _window_meta(csr_t, bs, bs, contain_diag=True)
         v_pad = max(vp_f, vp_t)
-        slabs, lo, _, scales = pack_banded_device(
+        packed = pack_banded_device(
             csr, block_size=bs, col_align=bs, contain_diag=True,
-            dtype=jnp.int8, v_pad=v_pad)
-        slabs_t, lo_t, _, scales_t = pack_banded_device(
+            dtype=sdt, v_pad=v_pad)
+        packed_t = pack_banded_device(
             csr_t, block_size=bs, col_align=bs, contain_diag=True,
-            dtype=jnp.int8, v_pad=v_pad)
+            dtype=sdt, v_pad=v_pad)
+        slabs, lo = packed[0], packed[1]
+        slabs_t, lo_t = packed_t[0], packed_t[1]
+        scales = packed[3] if quantize else None
+        scales_t = packed_t[3] if quantize else None
+        w = slabs.shape[-1]
         return BandedGraphOp(slabs=slabs, lo=jnp.asarray(lo),
                              slabs_t=slabs_t, lo_t=jnp.asarray(lo_t),
                              n_vertex=gso.n_vertex, v_pad=v_pad,
                              use_pallas=use_pallas,
                              pair_safe=cheb_pair_wavefront_safe(lo, bs),
-                             pair_stream=cheb_pair_stream_safe(
-                                 lo, slabs.shape[-1], bs),
+                             pair_stream=(cheb_pair_stream_safe(lo, w, bs)
+                                          and cheb_pair_stream_safe(
+                                              lo_t, w, bs)),
                              scales=scales, scales_t=scales_t)
 
     from stgcn_tpu.kernels.banded_spmm import pack_banded_with_transpose
