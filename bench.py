@@ -39,6 +39,49 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def bench_calibration(reps=50):
+    """PINNED device calibration, identical every round so derived roofline
+    fractions are comparable round-over-round (VERDICT r2 weak item 4):
+    one fixed 4096³ bf16→f32 matmul (MXU) and one fixed 512 MB bf16 copy
+    (HBM), both warmed up and readback-synced."""
+    import jax
+    import jax.numpy as jnp
+
+    from stgcn_tpu.utils.timing import device_sync
+
+    m = 4096
+    a = jnp.ones((m, m), jnp.bfloat16)
+    b = jnp.ones((m, m), jnp.bfloat16)
+    mm = jax.jit(lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32))
+    out = mm(a, b)
+    device_sync(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = mm(a, b)
+    device_sync(out)
+    dt_mm = (time.time() - t0) / reps
+    mxu = 2 * m ** 3 / dt_mm
+
+    big = jnp.ones((256 * 1024 * 1024,), jnp.bfloat16)  # 512 MB
+    cp = jax.jit(lambda x: x * jnp.bfloat16(1.0000001))  # read + write
+    out = cp(big)
+    device_sync(out)
+    t0 = time.time()
+    for _ in range(10):
+        out = cp(out)
+    device_sync(out)
+    dt_cp = (time.time() - t0) / 10
+    hbm = 2 * big.size * 2 / dt_cp  # bytes read + written
+
+    device_kind = jax.devices()[0].device_kind
+    res = {"mxu_calib_flops_per_s": mxu, "mxu_calib_shape": f"{m}x{m}x{m} bf16",
+           "hbm_calib_bytes_per_s": hbm, "hbm_calib_size_mb": 512,
+           "device": device_kind}
+    log(f"[calib] MXU {mxu / 1e12:.1f} TF/s (4096^3 bf16) | "
+        f"HBM {hbm / 1e9:.0f} GB/s (512 MB copy) on {device_kind}")
+    return res
+
+
 def bench_train_throughput(dataset="pems-bay", batch_size=32, measure_epochs=2,
                            compute_dtype=None):
     """Steady-state training throughput of the flagship config.
@@ -267,7 +310,7 @@ def bench_train_100k(n_vertex=100_000, batch=8, reps=8):
 
 
 def bench_scaling(n_vertex=100_000, parts=(1, 2, 4, 8), reps=2,
-                  timeout_s=1800):
+                  timeout_s=1800, n_feat=128, quantize=False):
     """Edges/s scaling of the boundary-halo sharded SpMM on a virtual
     8-device CPU mesh (BASELINE configs[3]: multi-chip at 100k vertices).
 
@@ -282,7 +325,10 @@ def bench_scaling(n_vertex=100_000, parts=(1, 2, 4, 8), reps=2,
     cmd = [sys.executable, "-m", "stgcn_tpu.bench.scaling",
            "--vertices", str(n_vertex), "--parts",
            *[str(p) for p in parts], "--reps", str(reps),
+           "--feat", str(n_feat),
            "--platform", "cpu", "--devices", str(max(parts))]
+    if quantize:
+        cmd.append("--quantize")
     log(f"[scaling] {' '.join(cmd)}")
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT,
@@ -350,9 +396,11 @@ def main():
     ap.add_argument("--skip-torch", action="store_true")
     ap.add_argument("--skip-scaling", action="store_true")
     ap.add_argument("--skip-100k", action="store_true")
+    ap.add_argument("--skip-1m", action="store_true")
     ap.add_argument("--spmm-vertices", type=int, default=100_000)
     args = ap.parse_args()
 
+    calib = bench_calibration()
     train = bench_train_throughput(args.dataset)
     # BASELINE configs[2]: PEMS-BAY large batch on a single chip
     train_large = bench_train_throughput(args.dataset, batch_size=512,
@@ -361,6 +409,12 @@ def main():
     spmm = None if args.skip_spmm else bench_spmm(n_vertex=args.spmm_vertices)
     train_100k = None if args.skip_100k else bench_train_100k()
     scaling = None if args.skip_scaling else bench_scaling()
+    # BASELINE configs[4]: 1M vertices / ~10M edges, int8 packs, sharded on
+    # the virtual mesh — structural metrics (halo/comm/interior/allclose);
+    # the time fields are flagged invalid_on_cpu
+    scaling_1m = None if args.skip_1m else bench_scaling(
+        n_vertex=1_000_000, parts=(1, 2, 4, 8), reps=1, n_feat=32,
+        quantize=True, timeout_s=3600)
 
     baseline = None
     if os.path.exists(BASELINE_FILE):
@@ -378,22 +432,32 @@ def main():
     vs = (baseline and train["step_time_s"] > 0
           and baseline["step_time_s"] / train["step_time_s"]) or 1.0
 
+    import jax
+
+    device = jax.devices()[0].device_kind
     out = {
         "metric": f"{args.dataset}_train_epochs_per_hr",
         "value": round(train["epochs_per_hr"], 3),
         "unit": "epochs/hr",
         "vs_baseline": round(vs, 3),
-        "train": {k: round(v, 6) for k, v in train.items()},
-        "train_large_batch": {k: round(v, 6) for k, v in train_large.items()},
+        "calibration": {k: (round(v, 3) if isinstance(v, float) else v)
+                        for k, v in calib.items()},
+        "train": {"device": device,
+                  **{k: round(v, 6) for k, v in train.items()}},
+        "train_large_batch": {"device": device,
+                              **{k: round(v, 6) for k, v in train_large.items()}},
     }
     if spmm:
         out["spmm"] = {k: (round(v, 6) if isinstance(v, float) else v)
                        for k, v in spmm.items()}
     if train_100k:
-        out["train_100k"] = {k: (round(v, 6) if isinstance(v, float) else v)
-                             for k, v in train_100k.items()}
+        out["train_100k"] = {"device": device,
+                             **{k: (round(v, 6) if isinstance(v, float) else v)
+                                for k, v in train_100k.items()}}
     if scaling:
         out["scaling"] = scaling
+    if scaling_1m:
+        out["scaling_1m"] = scaling_1m
     print(json.dumps(out), flush=True)
 
 

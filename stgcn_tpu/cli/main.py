@@ -36,7 +36,9 @@ def get_parameters(argv=None):
                         help="kept for flag parity; device selection is JAX-native")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--dataset", type=str, default="metr-la",
-                        choices=["metr-la", "pems-bay", "pemsd7-m"])
+                        help="metr-la | pems-bay | pemsd7-m (the reference's "
+                             "choices, `main.py:43`) or any directory under "
+                             "--data_root holding adj.npz (+ vel.csv)")
     parser.add_argument("--n_his", type=int, default=12)
     parser.add_argument("--n_pred", type=int, default=3)
     parser.add_argument("--time_intvl", type=int, default=5)  # unused downstream, as in reference
@@ -93,6 +95,19 @@ def get_parameters(argv=None):
                         help="fused ST-block Pallas kernels (dense GSO only)")
     parser.add_argument("--remat", type=_str2bool, default=False,
                         help="checkpoint/rematerialize ST blocks (100k+ vertices)")
+    # --- multi-chip (SURVEY §2.9-2.10) ---
+    parser.add_argument("--mesh_data", type=int, default=1,
+                        help="data-parallel mesh axis size (batch shards here; "
+                             "XLA psums the gradients over ICI)")
+    parser.add_argument("--mesh_graph", type=int, default=1,
+                        help="graph-partition mesh axis size (vertices shard "
+                             "here; boundary halo exchange over ICI/DCN)")
+    parser.add_argument("--mesh_model", type=int, default=1,
+                        help="channel tensor-parallel mesh axis size")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host bootstrap: jax.distributed.initialize() "
+                             "before building the mesh (coordinator/process "
+                             "settings via the standard JAX env vars)")
     return parser.parse_args(argv)
 
 
@@ -228,11 +243,24 @@ def main(argv=None):
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.distributed:
+        # multi-host: all processes run this same command; JAX discovers the
+        # coordinator from the standard env (or TPU metadata) and
+        # jax.devices() then spans every host's chips
+        jax.distributed.initialize()
+
+    mesh = None
+    if args.mesh_data * args.mesh_graph * args.mesh_model > 1:
+        from stgcn_tpu.dist.mesh import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data, graph=args.mesh_graph,
+                         model=args.mesh_model)
+        print(f"Mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
 
     cfg = config_from_args(args)
     trainer = build_trainer(cfg, dataset=args.dataset, data_root=args.data_root,
                             gso_type=args.gso_type, graph_op_kind=args.graph_op,
-                            synthetic_ok=args.synthetic_ok)
+                            synthetic_ok=args.synthetic_ok, mesh=mesh)
     if args.resume and trainer.resume():
         print(f"Resumed from epoch {trainer.epoch}")
     trainer.fit(profile_dir=args.profile_dir)

@@ -79,6 +79,13 @@ def ensure_vel(dataset: str, data_root: str = "data", *, seed: int | None = None
     vel = generate_synthetic_vel(adj, n_steps, seed)
     header = ",".join(str(i) for i in range(vel.shape[1]))
     np.savetxt(path, vel, delimiter=",", header=header, comments="", fmt="%.4f")
+    # provenance marker: a reader finding this CSV must not mistake it for
+    # real sensor data (see data/README.md)
+    note = os.path.join(os.path.dirname(path), "VEL_IS_SYNTHETIC.txt")
+    with open(note, "w") as f:
+        f.write(f"vel.csv here is SYNTHETIC (generate_synthetic_vel seed={seed}, "
+                f"n_steps={n_steps}); real series stripped from the snapshot. "
+                "See data/README.md.\n")
     return path
 
 

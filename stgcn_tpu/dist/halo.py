@@ -45,7 +45,9 @@ except ImportError:  # pragma: no cover - older jax
 from stgcn_tpu.graph.gso import GraphShiftOperator
 from stgcn_tpu.graph.partition import (BandedShardPack, GraphPartition,
                                        make_partition, pack_banded_shards,
-                                       partition_row_blocks)
+                                       partition_row_blocks,
+                                       plan_banded_shards,
+                                       scatter_banded_shard)
 from stgcn_tpu.ops.graph_op import _fold_to_vn, _unfold_from_vn
 
 
@@ -411,6 +413,42 @@ class BandedShardedGraphOp(struct.PyTreeNode):
         return _unfold_from_vn(t1, lead_c), _unfold_from_vn(t2, lead_c)
 
 
+def _put_banded_shardwise(csr, plan, mesh: Mesh, axis: str, *,
+                          quantize: bool, dtype):
+    """Assemble the global ``[P, nbr_s, bs, w]`` slab array (+ int8 scales)
+    on the mesh ONE SHARD AT A TIME: scatter shard p on the host, place it
+    on every device owning shard p, free the host copy, move on. Host peak
+    is one shard's pack instead of the whole thing (~5-20 GB at 1M
+    vertices — the round-2 sweep crashed exactly here)."""
+    p_n, nbr_s, bs, w = plan.n_parts, plan.nbr_s, plan.block_size, plan.w
+    shape = (p_n, nbr_s, bs, w)
+    slab_dt = jnp.int8 if quantize else dtype
+    sharding = NamedSharding(mesh, P(axis, None, None, None))
+    idx_map = sharding.addressable_devices_indices_map(shape)
+    by_p: dict[int, list] = {}
+    for dev, idx in idx_map.items():
+        by_p.setdefault(idx[0].start or 0, []).append(dev)
+
+    slab_bufs, scl_bufs = [], []
+    for p in sorted(by_p):
+        block, scl = scatter_banded_shard(csr, plan, p, quantize=quantize)
+        block = block[None].astype(slab_dt, copy=False)
+        for dev in by_p[p]:
+            slab_bufs.append(jax.device_put(block, dev))
+            if scl is not None:
+                scl_bufs.append(jax.device_put(
+                    scl[None].astype(np.float32, copy=False), dev))
+        del block, scl  # free the host copy before the next shard
+
+    slabs = jax.make_array_from_single_device_arrays(shape, sharding, slab_bufs)
+    scales = None
+    if scl_bufs:
+        scales = jax.make_array_from_single_device_arrays(
+            (p_n, nbr_s, bs), NamedSharding(mesh, P(axis, None, None)),
+            scl_bufs)
+    return slabs, scales
+
+
 def banded_sharded_graph_op(gso: GraphShiftOperator, mesh: Mesh, *,
                             axis: str = "graph", block_size: int = 256,
                             quantize: bool = False, dtype=jnp.float32,
@@ -419,26 +457,40 @@ def banded_sharded_graph_op(gso: GraphShiftOperator, mesh: Mesh, *,
     """Partition a GSO into per-shard banded packs with boundary halos.
     Returns the operator and the partition metadata. Raises ValueError when
     the post-RCM band is too wide for single-hop exchange at this shard
-    count (callers may fall back to :func:`sharded_graph_op`)."""
+    count (callers may fall back to :func:`sharded_graph_op`).
+
+    Symmetric GSOs (every ``sym_*`` normalization — bit-equal to their
+    transpose) reuse the forward pack for the backward's transpose
+    application, halving pack memory and build time."""
     import scipy.sparse as sp
 
     n_parts = mesh.shape[axis]
     part, pm = make_partition(gso.matrix, n_parts, reorder=reorder,
                               align=block_size)
-    pf = pack_banded_shards(pm, part, block_size=block_size, quantize=quantize)
-    pt = pack_banded_shards(sp.csr_matrix(pm).T.tocsr(), part,
-                            block_size=block_size, quantize=quantize)
+    csr = sp.csr_matrix(pm)
+    plan = plan_banded_shards(pm, part, block_size=block_size)
+    slabs, scales = _put_banded_shardwise(csr, plan, mesh, axis,
+                                          quantize=quantize, dtype=dtype)
     sh = lambda ndim: NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
-    put = lambda a, dt=None: jax.device_put(
-        jnp.asarray(a) if dt is None else jnp.asarray(a, dt), sh(a.ndim))
-    slab_dt = None if quantize else dtype
+    put = lambda a: jax.device_put(jnp.asarray(a), sh(a.ndim))
+    lo = put(plan.lo)
+
+    symmetric = (csr != csr.T).nnz == 0
+    if symmetric:
+        slabs_t, scales_t, lo_t = slabs, scales, lo
+        plan_t = plan
+    else:
+        csr_t = csr.T.tocsr()
+        plan_t = plan_banded_shards(csr_t, part, block_size=block_size)
+        slabs_t, scales_t = _put_banded_shardwise(
+            csr_t, plan_t, mesh, axis, quantize=quantize, dtype=dtype)
+        lo_t = put(plan_t.lo)
+
     op = BandedShardedGraphOp(
-        slabs=put(pf.slabs, slab_dt), lo=put(pf.lo),
-        slabs_t=put(pt.slabs, slab_dt), lo_t=put(pt.lo),
-        scales=None if pf.scales is None else put(pf.scales),
-        scales_t=None if pt.scales is None else put(pt.scales),
-        mesh=mesh, axis=axis, halo=pf.halo, halo_t=pt.halo,
-        interior=pf.interior, interior_t=pt.interior,
+        slabs=slabs, lo=lo, slabs_t=slabs_t, lo_t=lo_t,
+        scales=scales, scales_t=scales_t,
+        mesh=mesh, axis=axis, halo=plan.halo, halo_t=plan_t.halo,
+        interior=plan.interior, interior_t=plan_t.interior,
         block_size=block_size, n_vertex=part.n_vertex,
         use_pallas=use_pallas)
     return op, part

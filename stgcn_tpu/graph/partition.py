@@ -118,11 +118,30 @@ class BandedShardPack:
     scales: np.ndarray | None = None   # [P, nbr_s, bs] per-row dequant (int8)
 
 
-def pack_banded_shards(pm: sp.csr_matrix, part: GraphPartition, *,
-                       block_size: int = 256, quantize: bool = False,
-                       max_halo: int | None = None) -> BandedShardPack:
-    """Pack the permuted+padded GSO into per-shard banded slabs with a
-    boundary halo (see :class:`BandedShardPack`).
+@dataclasses.dataclass(frozen=True)
+class BandedShardPlan:
+    """Window/halo geometry of a banded shard pack — everything except the
+    scattered slab values. Cheap to compute at any scale (row extents
+    only); :func:`scatter_banded_shard` fills one shard's slabs at a time
+    so the host never holds the whole ``[P, nbr_s, bs, W]`` array (the
+    1M-vertex pack is ~5-20 GB; building it shard-wise caps host peak at
+    ``1/P`` of that)."""
+
+    lo_f: np.ndarray             # [nbr] absolute window starts (clamped)
+    lo: np.ndarray               # [P, nbr_s] ext-relative, 128-aligned
+    halo: int
+    interior: tuple[int, int]
+    block_size: int
+    w: int
+    n_parts: int
+    nbr_s: int
+
+
+def plan_banded_shards(pm: sp.csr_matrix, part: GraphPartition, *,
+                       block_size: int = 256,
+                       max_halo: int | None = None) -> BandedShardPlan:
+    """Window/halo plan for per-shard banded slabs (see
+    :class:`BandedShardPack`).
 
     Requires ``part.part_size % block_size == 0`` (use
     ``make_partition(..., align=block_size)``). Raises if the band is so
@@ -159,22 +178,6 @@ def pack_banded_shards(pm: sp.csr_matrix, part: GraphPartition, *,
     # the true entry extent is guaranteed by the halo definition)
     lo_f = np.clip(lo_al, own_lo - halo, own_hi + halo - w)
 
-    # scatter entries into the slabs
-    coo = csr.tocoo()
-    br = coo.row // bs
-    vals = coo.data.astype(np.float32)
-    scales = None
-    if quantize:
-        row_max = np.zeros(nbr * bs, np.float32)
-        np.maximum.at(row_max, coo.row, np.abs(vals))
-        row_scale = np.where(row_max > 0, row_max / 127.0, 1.0)
-        vals = np.clip(np.round(vals / row_scale[coo.row]), -127, 127)
-        scales = row_scale.reshape(p_n, nbr_s, bs)
-    slabs = np.zeros((nbr, bs, w), np.int8 if quantize else np.float32)
-    cols_rel = coo.col - lo_f[br]
-    assert (cols_rel >= 0).all() and (cols_rel < w).all()
-    slabs[br, coo.row - br * bs, cols_rel] = vals
-
     # ext-relative offsets: lo_rel = lo_f - (own_lo - halo); 128-aligned
     # because lo_f, own_lo (s mult of bs>=128) and halo all are
     lo_rel = (lo_f - (own_lo - halo)).astype(np.int32)
@@ -200,9 +203,51 @@ def pack_banded_shards(pm: sp.csr_matrix, part: GraphPartition, *,
             i += 1
     a, b = run_a, run_a + run_len
 
-    return BandedShardPack(
-        slabs=slabs.reshape(p_n, nbr_s, bs, w), lo=lo2,
-        halo=halo, interior=(a, b), block_size=bs, scales=scales)
+    return BandedShardPlan(lo_f=lo_f, lo=lo2, halo=halo, interior=(a, b),
+                           block_size=bs, w=w, n_parts=p_n, nbr_s=nbr_s)
+
+
+def scatter_banded_shard(csr: sp.csr_matrix, plan: BandedShardPlan, p: int,
+                         *, quantize: bool = False
+                         ) -> tuple[np.ndarray, np.ndarray | None]:
+    """Fill shard ``p``'s slabs ``[nbr_s, bs, w]`` (+ int8 scales) from the
+    permuted+padded CSR — only rows ``[p·s, (p+1)·s)`` are touched."""
+    bs, w, nbr_s = plan.block_size, plan.w, plan.nbr_s
+    s = nbr_s * bs
+    sub = csr[p * s:(p + 1) * s].tocoo()
+    vals = sub.data.astype(np.float32)
+    scales = None
+    if quantize:
+        row_max = np.zeros(s, np.float32)
+        np.maximum.at(row_max, sub.row, np.abs(vals))
+        row_scale = np.where(row_max > 0, row_max / 127.0, 1.0)
+        vals = np.clip(np.round(vals / row_scale[sub.row]), -127, 127)
+        scales = row_scale.reshape(nbr_s, bs)
+    slabs = np.zeros((nbr_s, bs, w), np.int8 if quantize else np.float32)
+    br = sub.row // bs
+    cols_rel = sub.col - plan.lo_f[p * nbr_s + br]
+    assert (cols_rel >= 0).all() and (cols_rel < w).all()
+    slabs[br, sub.row - br * bs, cols_rel] = vals
+    return slabs, scales
+
+
+def pack_banded_shards(pm: sp.csr_matrix, part: GraphPartition, *,
+                       block_size: int = 256, quantize: bool = False,
+                       max_halo: int | None = None) -> BandedShardPack:
+    """Pack the permuted+padded GSO into per-shard banded slabs with a
+    boundary halo (see :class:`BandedShardPack`): plan + scatter of every
+    shard at once. Large graphs should iterate :func:`scatter_banded_shard`
+    per shard instead (host peak = one shard)."""
+    plan = plan_banded_shards(pm, part, block_size=block_size,
+                              max_halo=max_halo)
+    csr = sp.csr_matrix(pm)
+    parts = [scatter_banded_shard(csr, plan, p, quantize=quantize)
+             for p in range(plan.n_parts)]
+    slabs = np.stack([s for s, _ in parts])
+    scales = np.stack([sc for _, sc in parts]) if quantize else None
+    return BandedShardPack(slabs=slabs, lo=plan.lo, halo=plan.halo,
+                           interior=plan.interior, block_size=plan.block_size,
+                           scales=scales)
 
 
 def halo_stats(pm: sp.csr_matrix, part: GraphPartition) -> dict:

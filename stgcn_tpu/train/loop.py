@@ -302,18 +302,20 @@ class Trainer:
         self._metrics_scanned = metrics_scanned
 
     # ------------------------------------------------------------ batch plans
-    def _epoch_plan(self, ds: ForecastDataset, *, shuffle: bool = False,
-                    rng=None) -> tuple[jax.Array, jax.Array]:
-        """Stack a split's batches into [n_steps, B] starts + [n_steps] valid."""
+    def _epoch_plan(self, ds: ForecastDataset) -> tuple[jax.Array, jax.Array]:
+        """Stack a split's batches into [n_steps, B] starts + [n_steps] valid.
+
+        Sequential order only — shuffled epochs draw their permutation on
+        device in ``_train_epoch_shuffled`` and never come through here.
+        """
         # cache entries hold the dataset object itself, so an id() can never
         # be recycled by a garbage-collected dataset and serve a stale plan
         key = id(ds)
         cached = self._plan_cache.get(key)
-        if not shuffle and cached is not None and cached[0] is ds:
+        if cached is not None and cached[0] is ds:
             return cached[1]
         starts_l, valid_l = [], []
-        for starts, n_valid in ds.batches(self.cfg.batch_size, shuffle=shuffle,
-                                          rng=rng):
+        for starts, n_valid in ds.batches(self.cfg.batch_size):
             starts_l.append(np.asarray(starts))
             valid_l.append(n_valid)
         starts_mat = jnp.asarray(np.stack(starts_l))
@@ -323,8 +325,7 @@ class Trainer:
 
             starts_mat = jax.device_put(
                 starts_mat, NamedSharding(self.mesh, P(None, "data")))
-        if not shuffle:
-            self._plan_cache[key] = (ds, (starts_mat, n_valid_vec))
+        self._plan_cache[key] = (ds, (starts_mat, n_valid_vec))
         return starts_mat, n_valid_vec
 
     def _all_starts_plan(self, ds: ForecastDataset):
@@ -359,10 +360,7 @@ class Trainer:
             losses = np.asarray(jax.device_get(losses))
             weights = np.asarray(jax.device_get(n_valid_vec), dtype=np.float64)
             return float((losses * weights).sum() / weights.sum())
-        shuffle_rng = np.random.default_rng(cfg.seed + self.epoch) if cfg.shuffle else None
-        starts_mat, n_valid_vec = self._epoch_plan(self.train_ds,
-                                                   shuffle=cfg.shuffle,
-                                                   rng=shuffle_rng)
+        starts_mat, n_valid_vec = self._epoch_plan(self.train_ds)
         idx_vec = jnp.arange(step0, step0 + starts_mat.shape[0])
         self.params, self.opt_state, losses = self._train_epoch_scanned(
             self.params, self.opt_state, self.gop, self.train_ds.series,
