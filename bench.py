@@ -254,8 +254,8 @@ def bench_train_100k(n_vertex=100_000, batch=8, reps=8):
     art = build_gso(adj, "sym_norm_lap", cheb=True)
     art = dataclasses.replace(
         art, matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)))
-    gop = make_graph_op(art, "banded", banded_block_size=512,
-                        dtype=jnp.bfloat16)
+    gop = make_graph_op(art, "banded", banded_block_size=256,
+                        dtype=jnp.bfloat16, nv=True)
     model = STGCN(n_his=12, dtype=jnp.bfloat16, remat=True)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, 12, n_vertex, 1)),

@@ -28,7 +28,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vertices", type=int, default=100_000)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--block-size", type=int, default=512)
+    ap.add_argument("--block-size", type=int, default=256)
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--fused", action="store_true",
                     help="vertex-fused sparse-path kernels")
@@ -54,7 +54,7 @@ def main():
     art = dataclasses.replace(
         art, matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)))
     gop = make_graph_op(art, "banded", banded_block_size=args.block_size,
-                        dtype=jnp.bfloat16)
+                        dtype=jnp.bfloat16, nv=args.fused)
     print(f"prep {time.time()-t0:.1f}s  slabs {gop.slabs.shape} "
           f"{gop.slabs.dtype}", flush=True)
 

@@ -68,7 +68,7 @@ def main():
     c2k, c2b = f(3, cfg.c1, cfg.g2), f32(cfg.g2)
 
     head = jax.jit(lambda *a: head_fused(cfg, 7, *a))
-    tail = jax.jit(lambda *a: tail_fused(cfg, *a))
+    tail = jax.jit(lambda *a: tail_fused(cfg, cfg.v_true, *a))
     h_args = (x, mu, rstd, lng, lnb, c1k, c1b, gaw, gab)
     t_args = (xg, ta, tb, gcw, gcb, c2k, c2b)
 
@@ -86,7 +86,7 @@ def main():
             head_fused(cfg, 7, *a).astype(jnp.float32) ** 2), argnums=(0,)))
         gt = jax.jit(jax.grad(lambda *a: sum(
             jnp.sum(o.astype(jnp.float32) ** 2)
-            for o in tail_fused(cfg, *a)), argnums=(0, 1, 2)))
+            for o in tail_fused(cfg, cfg.v_true, *a)), argnums=(0, 1, 2)))
         t_hb = bench(gh, h_args, args.reps)
         t_tb = bench(gt, t_args, args.reps)
         print(f"    head fwd+bwd {t_hb*1e3:7.2f} ms   "

@@ -184,14 +184,18 @@ def build_trainer(cfg: TrainConfig, *, dataset: str, data_root: str = "data",
                             gso_type=art.gso_type,
                             cheb_rescaled=art.cheb_rescaled,
                             lam_max=art.lam_max)
-        # banded slab size by expected SpMM width n = B·T·c (measured:
-        # 512-row slabs 1.13x faster at training widths >= 1024 — wider
-        # slabs cut the window refetch; 256 best at eval widths)
-        t_mid = cfg.n_his - 2 * (cfg.kt - 1)
-        n_expected = cfg.batch_size * max(t_mid, 1) * 16
+        # 256-row slabs measured best for the contain_diag stream packs at
+        # both eval and training widths (round 3: pair 7.66 vs 9.89 ms at
+        # N=1280/100k — narrower windows cut the MXU band padding); the
+        # fused path additionally packs nv slabs for the zero-transpose
+        # kernels (kernels/banded_nv.py)
+        kw = {}
+        if cfg.fused and graph_op_kind in ("banded", "banded_int8") or (
+                cfg.fused and graph_op_kind == "auto"
+                and art.n_vertex > 4096):
+            kw["nv"] = True
         gop = make_graph_op(art, kind=graph_op_kind,
-                            banded_block_size=512 if n_expected >= 1024
-                            else 256)
+                            banded_block_size=256, **kw)
 
     vel_path = os.path.join(data_root, dataset, "vel.csv")
     if not os.path.exists(vel_path):

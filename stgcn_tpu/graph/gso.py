@@ -181,3 +181,20 @@ def build_gso(dir_adj: sp.spmatrix, gso_type: str = "sym_norm_lap", *,
         eye = sp.identity(g.shape[0], format="csr", dtype=g.dtype)
         g = (g - eye).tocsr() if lmax >= 2 else (2 * g / lmax - eye).tocsr()
     return GraphShiftOperator(matrix=g, gso_type=gso_type, cheb_rescaled=cheb, lam_max=lmax)
+
+
+def effectively_symmetric(matrix: sp.spmatrix, *, rtol: float = 1e-9) -> bool:
+    """True when ``A`` equals ``Aᵀ`` up to float64 rounding noise.
+
+    The sym_* normalizations are symmetric in exact arithmetic but
+    ``D^{-1/2} A D^{-1/2}`` evaluates (d_i·a_ij)·d_j on one side and
+    (d_j·a_ji)·d_i on the other — ~1e-16 ULP differences. Consumers cast
+    to f32/bf16/int8 where that noise vanishes, so a pack of ``A`` can
+    serve as the transpose pack whenever this holds (halving pack memory
+    and build time)."""
+    m = sp.csr_matrix(matrix)
+    d = m - m.T.tocsr()
+    if d.nnz == 0:
+        return True
+    scale = np.abs(m.data).max() if m.nnz else 1.0
+    return bool(np.abs(d.data).max() <= rtol * max(scale, 1e-30))

@@ -106,15 +106,63 @@ def pack_banded(matrix: sp.spmatrix, *, block_size: int = 128,
 
 
 def banded_spmm_reference(slabs: jax.Array, lo: jax.Array, x: jax.Array,
-                          *, block_size: int) -> jax.Array:
-    """jnp oracle: per-block dense slab × gathered x window."""
+                          *, block_size: int,
+                          scales: jax.Array | None = None) -> jax.Array:
+    """jnp oracle: per-block dense slab × gathered x window.
+
+    Memory-aware: when materializing every ``[w, n]`` window at once (plus
+    the f32 copy of an int8 pack) would exceed ~1 GB — the 1M-vertex
+    structural runs on the CPU mesh — it scans over blocks instead, holding
+    one window and one dequantized slab at a time."""
     nbr, bs, w = slabs.shape
     n = x.shape[1]
+    gathered_bytes = nbr * w * n * x.dtype.itemsize + slabs.size * 4
+    if gathered_bytes > (1 << 30):
+        def blk(_, inp):
+            slab, lo_i, scl = inp
+            slab = slab.astype(jnp.float32)
+            if scl is not None:
+                slab = slab * scl[:, None]
+            win = jax.lax.dynamic_slice(x, (lo_i, 0), (w, n))
+            return None, jnp.dot(slab, win.astype(jnp.float32),
+                                  preferred_element_type=jnp.float32)
+
+        _, y = jax.lax.scan(blk, None, (slabs, lo, scales))
+        return y.reshape(nbr * bs, n).astype(x.dtype)
+    if scales is not None:
+        slabs = slabs.astype(jnp.float32) * scales[:, :, None]
     idx = lo[:, None] + jnp.arange(w)[None, :]
     windows = x[idx]  # [nbr, w, n]
     y = jnp.einsum("ibw,iwn->ibn", slabs, windows,
                    preferred_element_type=jnp.float32)
     return y.reshape(nbr * bs, n).astype(x.dtype)
+
+
+def banded_sddmm_scan(lo: jax.Array, x: jax.Array, g: jax.Array,
+                      nbr: int, bs: int, w: int) -> jax.Array:
+    """Band-sampled SDDMM ``dslab[i, b, w'] = Σ_n g[i·bs+b, n]·x[lo_i+w', n]``
+    as a scan over block rows — one ``[w, n]`` window materialized at a
+    time instead of all of them at once (the whole-window gather is a
+    ~10 GB temporary at 1M vertices / training widths; VERDICT r2 item 6).
+    This is the gradient w.r.t. slab values — the learnable-edge-weight
+    path."""
+    n = x.shape[1]
+    rows = _round_up(max(x.shape[0], nbr * bs), bs)
+    if x.shape[0] < rows:  # windows may extend past v_pad
+        x = jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)))
+    if g.shape[0] < nbr * bs:
+        g = jnp.pad(g, ((0, nbr * bs - g.shape[0]), (0, 0)))
+    g_blocks = g[:nbr * bs].reshape(nbr, bs, n)
+
+    def blk(_, inp):
+        lo_i, g_blk = inp
+        win = jax.lax.dynamic_slice(x, (lo_i, 0), (w, n))
+        return None, jax.lax.dot_general(
+            g_blk.astype(jnp.float32), win.astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    _, d = jax.lax.scan(blk, None, (lo, g_blocks))
+    return d
 
 
 def _make_banded_kernel(bs: int, w: int, tile_n: int, n_tiles: int,
@@ -289,9 +337,8 @@ def banded_spmm(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
     """
     n = x.shape[1]
     if not use_pallas or jax.default_backend() != "tpu":
-        s = slabs if scales is None else \
-            slabs.astype(jnp.float32) * scales[:, :, None]
-        return banded_spmm_reference(s, lo, x, block_size=block_size)
+        return banded_spmm_reference(slabs, lo, x, block_size=block_size,
+                                     scales=scales)
     # pick the N tile that minimizes padding waste (e.g. n=1280 with a
     # fixed 512 tile pads to 1536 — 20% wasted window traffic; a 640 tile
     # pads nothing), preferring bigger tiles on ties (fewer grid steps)
@@ -352,14 +399,10 @@ def _banded_vjp_bwd(block_size, use_pallas, res, g):
     if scales is not None:
         dslabs = jnp.zeros_like(slabs)  # quantized pack: weights frozen
         return dslabs, None, None, None, dx, None, None
-    # banded SDDMM: dslab[i] = g_block[i] @ x_window[i]^T  (dead code and
-    # DCE'd when the operator is a jit constant, i.e. in training)
+    # banded SDDMM: dslab[i] = g_block[i] @ x_window[i]^T — scan-based
+    # (DCE'd unless edge weights are trainable)
     nbr, bs, w = slabs.shape
-    idx = lo[:, None] + jnp.arange(w)[None, :]
-    windows = x[idx]  # [nbr, w, n]
-    gb = g.reshape(nbr, bs, -1)
-    dslabs = jnp.einsum("ibn,iwn->ibw", gb, windows,
-                        preferred_element_type=jnp.float32).astype(slabs.dtype)
+    dslabs = banded_sddmm_scan(lo, x, g, nbr, bs, w).astype(slabs.dtype)
     return dslabs, None, None, None, dx, None, None
 
 
@@ -674,6 +717,26 @@ def _make_cheb_pair_stream_kernel(bs: int, w: int, n: int, nbr: int, nxb: int,
     return kernel
 
 
+def _pair_stream_fallback(slabs, lo, x, g, scales, precision, bs):
+    """Two/three tiled single applications — the stream kernel's math when
+    its rings would not fit VMEM (wide N × f32, e.g. reference-scale
+    graphs at batch 32). ``banded_spmm`` tiles N internally."""
+    v_pad = x.shape[0]
+
+    def apply(v):
+        y = banded_spmm(slabs, lo, v, block_size=bs, scales=scales,
+                        precision=precision)
+        return jnp.pad(y, ((0, v_pad - y.shape[0]), (0, 0))) \
+            if y.shape[0] < v_pad else y[:v_pad]
+
+    if g is None:  # forward pair: (A x, 2 A (A x) − x)
+        t1 = apply(x)
+        return t1, 2.0 * apply(t1) - x
+    # VJP chain (x := g2, g := g1): (u = g1 + 2 Aᵀ g2, Aᵀ u − g2)
+    u = g[:v_pad] + 2.0 * apply(x)
+    return u, apply(u) - x
+
+
 def _pair_stream_call(slabs, lo, x, g, scales, precision):
     """Shared driver for :func:`banded_cheb_pair_stream` (``g=None``) and
     :func:`banded_chain_stream` (``g`` set)."""
@@ -684,8 +747,16 @@ def _pair_stream_call(slabs, lo, x, g, scales, precision):
     rn = delay + nw   # T1 ring: oldest block needed is i2+1-nw, newest i2+nw-1
     rs = delay + 1    # slab ring
     rx = 2 * nw + 2   # x ring: block j last read (stage 2) at step j+nw+1;
-    #                   slot reused by block j+rx, issued at step j+nw+2
+    #                   slot reused by block j+nw+2
     n_pad = _round_up(n, 128)
+    # VMEM estimate: x/T1 rings + double-buffered outputs + slab ring.
+    # Beyond ~110 MB Mosaic rejects the kernel (the verify CLI run at
+    # pemsd7-m f32 B=32 hit exactly this); fall back to tiled singles.
+    est = ((rx + rn + (2 if g is not None else 0)) * bs * n_pad
+           + 2 * 2 * bs * n_pad) * x.dtype.itemsize \
+        + (rs + 2) * bs * w * slabs.dtype.itemsize
+    if est > 110 * 1024 * 1024:
+        return _pair_stream_fallback(slabs, lo, x, g, scales, precision, bs)
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n)))
         if g is not None:
@@ -860,20 +931,8 @@ def _cheb_pair_stream_bwd(use_pallas, res, gs):
         return (jnp.zeros_like(slabs), None, None, None, dx, None, None)
 
     nbr, bs, w = slabs.shape
-    idx = lo[:, None] + jnp.arange(w)[None, :]
-    xw = x[idx]
-    t1w = t1[idx]
-    n_rows = nbr * bs
-
-    def blocked(g):
-        if g.shape[0] < n_rows:
-            g = jnp.pad(g, ((0, n_rows - g.shape[0]), (0, 0)))
-        return g[:n_rows].reshape(nbr, bs, -1)
-
-    dslabs = (jnp.einsum("ibn,iwn->ibw", blocked(dt1), xw,
-                         preferred_element_type=jnp.float32)
-              + 2.0 * jnp.einsum("ibn,iwn->ibw", blocked(g2), t1w,
-                                 preferred_element_type=jnp.float32)
+    dslabs = (banded_sddmm_scan(lo, x, dt1, nbr, bs, w)
+              + 2.0 * banded_sddmm_scan(lo, t1, g2, nbr, bs, w)
               ).astype(slabs.dtype)
     return dslabs, None, None, None, dx, None, None
 
@@ -915,25 +974,13 @@ def _cheb_pair_bwd(use_pallas, res, gs):
     dt1 = g1 + 2.0 * apply_t(g2)
     dx = apply_t(dt1) - g2
 
-    # band-sampled SDDMM for dslabs (jnp; dead code during training).
+    # band-sampled SDDMM for dslabs, scan-based (one window at a time).
     # T1 feeds T2, so the slab gradient through the FIRST application uses
     # the full T1 cotangent dt1 = g1 + 2 Aᵀ g2, not g1 alone:
     #   dA = dt1 · xᵀ + 2 g2 · T1ᵀ   (sampled at the band windows)
     nbr, bs, w = slabs.shape
-    idx = lo[:, None] + jnp.arange(w)[None, :]
-    xw = x[idx]            # [nbr, w, n]
-    t1w = t1[idx]
-    n_rows = nbr * bs
-
-    def blocked(g):
-        if g.shape[0] < n_rows:
-            g = jnp.pad(g, ((0, n_rows - g.shape[0]), (0, 0)))
-        return g[:n_rows].reshape(nbr, bs, -1)
-
-    dslabs = (jnp.einsum("ibn,iwn->ibw", blocked(dt1), xw,
-                         preferred_element_type=jnp.float32)
-              + 2.0 * jnp.einsum("ibn,iwn->ibw", blocked(g2), t1w,
-                                 preferred_element_type=jnp.float32)
+    dslabs = (banded_sddmm_scan(lo, x, dt1, nbr, bs, w)
+              + 2.0 * banded_sddmm_scan(lo, t1, g2, nbr, bs, w)
               ).astype(slabs.dtype)
     return dslabs, None, None, None, dx
 
@@ -943,7 +990,8 @@ banded_cheb_pair_vjp.defvjp(_cheb_pair_fwd, _cheb_pair_bwd)
 
 def pack_banded_device(matrix: sp.spmatrix, *, block_size: int = 256,
                        col_align: int = 128, dtype=jnp.bfloat16,
-                       v_pad: int | None = None, contain_diag: bool = False):
+                       v_pad: int | None = None, contain_diag: bool = False,
+                       transpose_slabs: bool = False):
     """Device-side slab construction: only the COO triplets travel to the
     chip (~12 B/edge); the ~GB-scale zero-filled slabs are scattered on
     device. At 1M vertices this turns a ~90 s pack upload through the
@@ -952,6 +1000,11 @@ def pack_banded_device(matrix: sp.spmatrix, *, block_size: int = 256,
     ``contain_diag=True`` (with ``col_align=block_size``) produces a
     streaming-cheb-pair-compatible pack: block-aligned windows that cover
     each block's own diagonal (see :func:`banded_cheb_pair_stream`).
+
+    ``transpose_slabs=True`` scatters each slab transposed —
+    ``[nbr, w, bs]`` — the operand layout of the nv kernels
+    (:mod:`stgcn_tpu.kernels.banded_nv`), whose dots then need no
+    register transposes.
     """
     csr = sp.csr_matrix(matrix)
     v = csr.shape[0]
@@ -993,6 +1046,9 @@ def pack_banded_device(matrix: sp.spmatrix, *, block_size: int = 256,
 
     @functools.partial(jax.jit, static_argnums=(4,))
     def scatter(brj, rj, cj, v, nb):
+        if transpose_slabs:
+            part = jnp.zeros((nb, w, bs), dtype)
+            return part.at[brj, cj, rj].set(v.astype(dtype))
         part = jnp.zeros((nb, bs, w), dtype)
         return part.at[brj, rj, cj].set(v.astype(dtype))
 

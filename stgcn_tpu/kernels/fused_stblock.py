@@ -192,32 +192,57 @@ def _pos_mask(x):
     return (x > 0).astype(x.dtype)
 
 
-def _gate_fwd(cfg, s, xin, c):
-    """Reference gate semantics (`model/layers.py:105,109,111-115`)."""
-    if cfg.gated:
-        p, q = s[..., :c], s[..., c:]
-        lin = p + xin
-        if cfg.act_func == "glu":
-            return lin * _sigmoid(q)
-        return jnp.tanh(lin) * _sigmoid(q)
-    z = s + xin
-    if cfg.act_func == "relu":
-        return jnp.maximum(z, 0)
-    return z * _sigmoid(z)  # silu
+def _gate_fwd(cfg, s, xin, c, want_aux: bool = False):
+    """Reference gate semantics (`model/layers.py:105,109,111-115`).
 
-
-def _gate_bwd(cfg, s, xin, c, da):
-    """Returns (ds, dxin)."""
-    one = s.dtype.type(1.0)
+    ``want_aux=True`` additionally returns the transcendental
+    intermediates (σ, tanh) so a recompute-based backward can reuse them
+    instead of evaluating them a second time — the gates are the VPU wall
+    of the fused kernels (measured: the σ stream is ~a third of the tail
+    kernel's time at 100k shapes)."""
+    aux = {}
     if cfg.gated:
         p, q = s[..., :c], s[..., c:]
         lin = p + xin
         sq = _sigmoid(q)
+        aux["sq"] = sq
+        if cfg.act_func == "glu":
+            a = lin * sq
+        else:
+            th = jnp.tanh(lin)
+            aux["th"] = th
+            a = th * sq
+    else:
+        z = s + xin
+        if cfg.act_func == "relu":
+            a = jnp.maximum(z, 0)
+        else:  # silu
+            sz = _sigmoid(z)
+            aux["sq"] = sz
+            a = z * sz
+    return (a, aux) if want_aux else a
+
+
+def _gate_bwd(cfg, s, xin, c, da, aux=None):
+    """Returns (ds, dxin). ``aux``: the forward's transcendental
+    intermediates from ``_gate_fwd(want_aux=True)`` — pass them whenever
+    the backward already replayed the forward (saves a second σ/tanh
+    sweep; the values are identical either way)."""
+    one = s.dtype.type(1.0)
+    aux = aux or {}
+    if cfg.gated:
+        p, q = s[..., :c], s[..., c:]
+        lin = p + xin
+        sq = aux.get("sq")
+        if sq is None:
+            sq = _sigmoid(q)
         if cfg.act_func == "glu":
             dlin = da * sq
             dq = da * lin * sq * (one - sq)
         else:  # gtu
-            th = jnp.tanh(lin)
+            th = aux.get("th")
+            if th is None:
+                th = jnp.tanh(lin)
             dlin = da * sq * (one - th * th)
             dq = da * th * sq * (one - sq)
         return jnp.concatenate([dlin, dq], axis=-1), dlin
@@ -225,7 +250,9 @@ def _gate_bwd(cfg, s, xin, c, da):
     if cfg.act_func == "relu":
         dz = da * _pos_mask(z)
     else:  # silu
-        sz = _sigmoid(z)
+        sz = aux.get("sq")
+        if sz is None:
+            sz = _sigmoid(z)
         dz = da * sz * (one + z * (one - sz))
     return dz, dz
 
@@ -310,7 +337,7 @@ def _forward_pieces(cfg, g_mat, vmask, x4, w, drop_mask=None):
 
     s1 = _tconv_fwd(x4, c1k, c1b, kt, prec)
     xin1 = _pad_channels(x4[:, kt - 1:], cfg.c0)
-    a1 = _gate_fwd(cfg, s1, xin1, cfg.c0)
+    a1, aux1 = _gate_fwd(cfg, s1, xin1, cfg.c0, want_aux=True)
 
     xg = (_dot(a1, gaw, prec) + gab.astype(_F32)).astype(a1.dtype)
     ts = _graph_chain_fwd(cfg, g_mat, xg, prec)
@@ -320,13 +347,14 @@ def _forward_pieces(cfg, g_mat, vmask, x4, w, drop_mask=None):
 
     s2 = _tconv_fwd(h, c2k, c2b, kt, prec)
     xin2 = _pad_channels(h[:, kt - 1:], cfg.c2)
-    a2 = _gate_fwd(cfg, s2, xin2, cfg.c2)
+    a2, aux2 = _gate_fwd(cfg, s2, xin2, cfg.c2, want_aux=True)
 
     y, mu, rstd = _ln_fwd(cfg, a2, vmask, lng, lnb)
     if drop_mask is not None:
         y = y * drop_mask
     return dict(s1=s1, xin1=xin1, a1=a1, xg=xg, ts=ts, r=r, h=h,
-                s2=s2, xin2=xin2, a2=a2, mu=mu, rstd=rstd, y=y)
+                s2=s2, xin2=xin2, a2=a2, aux1=aux1, aux2=aux2,
+                mu=mu, rstd=rstd, y=y)
 
 
 def _shift_pad_t(y4, k, t_total):
@@ -381,7 +409,8 @@ def _backward_pieces(cfg, g_mat, gt_mat, vmask, x4, w, fw, gy, drop_mask=None):
     da2 = (fw["rstd"] * (gd - m1 - xhat * m2) * vmask).astype(cdt)
 
     # temporal gate 2 backward
-    ds2, dxin2 = _gate_bwd(cfg, fw["s2"], fw["xin2"], cfg.c2, da2)
+    ds2, dxin2 = _gate_bwd(cfg, fw["s2"], fw["xin2"], cfg.c2, da2,
+                           aux=fw.get("aux2"))
     dc2k, dc2b, dh = _tconv_bwd(fw["h"], ds2, c2k, kt, prec)
     dh = dh + _shift_pad_t(dxin2[..., : cfg.c1], kt - 1, t1)
 
@@ -426,7 +455,8 @@ def _backward_pieces(cfg, g_mat, gt_mat, vmask, x4, w, fw, gy, drop_mask=None):
     da1 = _dot(dxg, gaw.T, prec).astype(cdt)
 
     # temporal gate 1 backward
-    ds1, dxin1 = _gate_bwd(cfg, fw["s1"], fw["xin1"], cfg.c0, da1)
+    ds1, dxin1 = _gate_bwd(cfg, fw["s1"], fw["xin1"], cfg.c0, da1,
+                           aux=fw.get("aux1"))
     dc1k, dc1b, dx = _tconv_bwd(x4, ds1, c1k, kt, prec)
     dx = dx + _shift_pad_t(dxin1[..., : cfg.c_in], kt - 1, cfg.t_in)
 

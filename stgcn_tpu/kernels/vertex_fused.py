@@ -214,9 +214,9 @@ def _head_core(cfg, x4, w):
     prec = _PRECISIONS[cfg.precision]
     s1 = _tconv_fwd(x4, c1k, c1b, cfg.kt, prec)
     xin1 = _pad_channels(x4[:, cfg.kt - 1:], cfg.c0)
-    a1 = _gate_fwd(cfg, s1, xin1, cfg.c0)
+    a1, aux1 = _gate_fwd(cfg, s1, xin1, cfg.c0, want_aux=True)
     xg = (_dot(a1, gaw, prec) + gab.astype(_F32)).astype(a1.dtype)
-    return dict(s1=s1, xin1=xin1, a1=a1, xg=xg)
+    return dict(s1=s1, xin1=xin1, a1=a1, xg=xg, aux1=aux1)
 
 
 def _head_core_bwd(cfg, x4, w, fw, dxg):
@@ -227,7 +227,8 @@ def _head_core_bwd(cfg, x4, w, fw, dxg):
     dgaw = _dot_t_a(fw["a1"], dxg, prec)
     dgab = _fsum(dxg, (0, 1, 2))
     da1 = _dot(dxg, gaw.T, prec).astype(cdt)
-    ds1, dxin1 = _gate_bwd(cfg, fw["s1"], fw["xin1"], cfg.c0, da1)
+    ds1, dxin1 = _gate_bwd(cfg, fw["s1"], fw["xin1"], cfg.c0, da1,
+                           aux=fw.get("aux1"))
     dc1k, dc1b, dx4 = _tconv_bwd(x4, ds1, c1k, cfg.kt, prec)
     dx4 = dx4 + _shift_pad_t(dxin1[..., : cfg.c_in], cfg.kt - 1, cfg.t_in)
     return dict(dx4=dx4, dc1k=dc1k, dc1b=dc1b, dgaw=dgaw, dgab=dgab)
@@ -249,8 +250,9 @@ def _tail_core(cfg, xg, terms, w):
     h = jnp.maximum(r, 0)
     s2 = _tconv_fwd(h, c2k, c2b, cfg.kt, prec)
     xin2 = _pad_channels(h[:, cfg.kt - 1:], cfg.c2)
-    a2 = _gate_fwd(cfg, s2, xin2, cfg.c2)
-    return dict(r=r, h=h, s2=s2, xin2=xin2, a2=a2, cterms=cterms)
+    a2, aux2 = _gate_fwd(cfg, s2, xin2, cfg.c2, want_aux=True)
+    return dict(r=r, h=h, s2=s2, xin2=xin2, a2=a2, aux2=aux2,
+                cterms=cterms)
 
 
 def _tail_core_bwd(cfg, xg, terms, w, fw, da2):
@@ -260,7 +262,8 @@ def _tail_core_bwd(cfg, xg, terms, w, fw, da2):
     gcw, gcb, c2k, c2b = w
     prec = _PRECISIONS[cfg.precision]
     cdt = xg.dtype
-    ds2, dxin2 = _gate_bwd(cfg, fw["s2"], fw["xin2"], cfg.c2, da2)
+    ds2, dxin2 = _gate_bwd(cfg, fw["s2"], fw["xin2"], cfg.c2, da2,
+                           aux=fw.get("aux2"))
     dc2k, dc2b, dh = _tconv_bwd(fw["h"], ds2, c2k, cfg.kt, prec)
     dh = dh + _shift_pad_t(dxin2[..., : cfg.c1], cfg.kt - 1, cfg.t1)
     dr = dh * _pos_mask(fw["r"])

@@ -60,7 +60,9 @@ from stgcn_tpu.nn.model import STGCN
 
 
 def _vn(x_cv: jax.Array) -> jax.Array:
-    """[B, T, C, V] → [V, B·T·C] — the graph kernels' native operand."""
+    """[B, T, C, V] → [V, B·T·C] — the vn graph kernels' operand (a real
+    HBM transpose: ~2-3 ms each way at 100k training shapes; prefer the
+    nv kernels below when the operator carries nv packs)."""
     return x_cv.reshape(-1, x_cv.shape[-1]).T
 
 
@@ -71,11 +73,32 @@ def _from_vn(y_vn: jax.Array, like: jax.Array) -> jax.Array:
     return y_vn.T.reshape(like.shape)
 
 
+def _nv(x_cv: jax.Array) -> jax.Array:
+    """[B, T, C, V] → [N = B·T·C, V] — a reshape VIEW of the cv layout
+    (zero HBM traffic); the nv kernels' operand."""
+    return x_cv.reshape(-1, x_cv.shape[-1])
+
+
+def _from_nv(y_nv: jax.Array, like: jax.Array) -> jax.Array:
+    v_pad = like.shape[-1]
+    if y_nv.shape[1] < v_pad:  # op pad < kernel-tile pad
+        y_nv = jnp.pad(y_nv, ((0, 0), (0, v_pad - y_nv.shape[1])))
+    return y_nv[:, :v_pad].reshape(like.shape)
+
+
 def _graph_terms(cfg: VertexBlockCfg, gop: Any, xg: jax.Array):
     """The graph outputs entering the tail contraction, in cv layout."""
     if cfg.ks == 1 and cfg.graph_conv_type == "cheb_graph_conv":
         return xg, xg  # contraction uses T_0 only
     gv = getattr(gop, "v_pad", None) or getattr(gop, "n_vertex_pad", None)
+    if getattr(gop, "has_nv", False):
+        # zero-transpose path: the cv layout reshape-views to [N, V]
+        x_nv = _nv(xg)
+        if cfg.graph_conv_type == "graph_conv" or cfg.ks == 2:
+            t = _from_nv(gop.apply_nv(x_nv), xg)
+            return t, t
+        t1, t2 = gop.cheb_pair_nv(x_nv)
+        return _from_nv(t1, xg), _from_nv(t2, xg)
     if hasattr(gop, "apply_vn"):
         x_vn = _vn(xg)
         if gv is not None and gv < x_vn.shape[0]:
@@ -106,11 +129,23 @@ def _st_block(cfg: VertexBlockCfg, gop: Any, seed, vtrue, head_in, mu,
               rstd, lng_p, lnb_p, w):
     """One ST block: head kernel → graph aggregation → tail kernel.
     A standalone function (cfg static, everything else pytree args) so it
-    can be wrapped in ``jax.checkpoint``. All activations cv-layout."""
+    can be wrapped in ``jax.checkpoint``. All activations cv-layout.
+
+    ``xg`` and the graph terms carry checkpoint names: under the
+    save-names remat policy (:data:`_REMAT_POLICY`) the backward replay
+    skips the head kernel and the whole graph aggregation — the pair is
+    ~10 ms at 100k training widths (measured, scripts/probe_100k_breakdown)
+    and recomputing it bought nothing but time (the saved tensors are
+    ~0.75 GB/block at B=8 bf16 against 16 GB HBM)."""
+    from jax.ad_checkpoint import checkpoint_name
+
     c1k, c1b, gaw, gab, gcw, gcb, c2k, c2b = w
     xg = head_fused(cfg, seed, head_in, mu, rstd, lng_p, lnb_p,
                     c1k, c1b, gaw, gab)
+    xg = checkpoint_name(xg, "stgcn_xg")
     t_a, t_b = _graph_terms(cfg, gop, xg)
+    t_a = checkpoint_name(t_a, "stgcn_graph_term")
+    t_b = checkpoint_name(t_b, "stgcn_graph_term")
     return tail_fused(cfg, vtrue, xg, t_a, t_b, gcw, gcb, c2k, c2b)
 
 
@@ -174,13 +209,16 @@ def _st_block_sharded(cfg: VertexBlockCfg, gop: Any, seed, vtrue_g,
                                     None, None)
             return _from_vn(y, x_cv)
 
+        from jax.ad_checkpoint import checkpoint_name
+
+        xg = checkpoint_name(xg, "stgcn_xg")
         if cfg.ks == 1 and cfg.graph_conv_type == "cheb_graph_conv":
             t_a = t_b = xg
         elif cfg.graph_conv_type == "graph_conv" or cfg.ks == 2:
-            t_a = t_b = gapply(xg)
+            t_a = t_b = checkpoint_name(gapply(xg), "stgcn_graph_term")
         else:  # ks == 3: T2's aggregation needs T1's halo — two passes
-            t_a = gapply(xg)
-            t_b = gapply(t_a, 2.0) - xg
+            t_a = checkpoint_name(gapply(xg), "stgcn_graph_term")
+            t_b = checkpoint_name(gapply(t_a, 2.0) - xg, "stgcn_graph_term")
 
         a2, ps, pss = tail_fused(cfg, vtrue, xg, t_a, t_b,
                                  gcw, gcb, c2k, c2b)
@@ -317,7 +355,9 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
 
     blk_fn = _st_block_sharded if sharded else _st_block
     if remat:
-        blk_fn = jax.checkpoint(blk_fn, static_argnums=(0,))
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "stgcn_xg", "stgcn_graph_term")
+        blk_fn = jax.checkpoint(blk_fn, static_argnums=(0,), policy=policy)
 
     state = None  # (a2, mu, rstd, lng_pad, lnb_pad) awaiting normalize
     for l in range(n_st):

@@ -152,19 +152,26 @@ class ChebGraphConv(nn.Module):
             x = x.astype(self.dtype)
             weight = weight.astype(self.dtype)
 
+        from jax.ad_checkpoint import checkpoint_name
+
         t_prev2 = x
         out = jnp.einsum("...vi,io->...vo", t_prev2, weight[0])
         if self.ks == 3 and hasattr(gop, "cheb_pair"):
             # fused recurrence: the sparse operator streams from HBM once
-            # for both applications (kernels/banded_spmm.banded_cheb_pair)
+            # for both applications (kernels/banded_spmm.banded_cheb_pair).
+            # The terms carry checkpoint names so the remat policy
+            # (`model.py:89-92`) saves them instead of replaying the pair.
             t1, t2 = gop.cheb_pair(x)
+            t1 = checkpoint_name(t1, "stgcn_graph_term")
+            t2 = checkpoint_name(t2, "stgcn_graph_term")
             out = out + jnp.einsum("...vi,io->...vo", t1, weight[1])
             out = out + jnp.einsum("...vi,io->...vo", t2, weight[2])
         elif self.ks >= 2:
-            t_prev1 = gop(x)
+            t_prev1 = checkpoint_name(gop(x), "stgcn_graph_term")
             out = out + jnp.einsum("...vi,io->...vo", t_prev1, weight[1])
             for k in range(2, self.ks):
-                t_k = gop(t_prev1, scale=2.0) - t_prev2
+                t_k = checkpoint_name(gop(t_prev1, scale=2.0) - t_prev2,
+                                      "stgcn_graph_term")
                 out = out + jnp.einsum("...vi,io->...vo", t_k, weight[k])
                 t_prev2, t_prev1 = t_prev1, t_k
 
@@ -193,7 +200,10 @@ class GraphConv(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
             weight = weight.astype(self.dtype)
-        out = jnp.einsum("...vi,io->...vo", gop(x), weight)
+        from jax.ad_checkpoint import checkpoint_name
+
+        gx = checkpoint_name(gop(x), "stgcn_graph_term")
+        out = jnp.einsum("...vi,io->...vo", gx, weight)
         if self.use_bias:
             bias = self.param("bias",
                               tinit.uniform_fan(tinit.torch_fan_in((c_in, self.c_out))),

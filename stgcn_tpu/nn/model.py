@@ -87,7 +87,13 @@ class STGCN(nn.Module):
 
         block_cls = L.STConvBlock
         if self.remat:
-            block_cls = nn.remat(L.STConvBlock, static_argnums=(3,))
+            # save the graph-aggregation outputs (the expensive SpMM/pair,
+            # ~10 ms at 100k training widths) instead of replaying them;
+            # everything else in the block is recomputed as before
+            block_cls = nn.remat(
+                L.STConvBlock, static_argnums=(3,),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "stgcn_graph_term"))
         for l in range(len(blocks) - 3):
             x = block_cls(
                 kt=self.kt, ks=self.ks, channels=tuple(blocks[l + 1]),

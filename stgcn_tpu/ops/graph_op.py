@@ -127,6 +127,11 @@ class BandedGraphOp(struct.PyTreeNode):
     pair_stream: bool = struct.field(pytree_node=False, default=False)
     scales: jax.Array | None = None    # [nbr, bs] per-row dequant (int8)
     scales_t: jax.Array | None = None
+    # pre-transposed packs [nbr, w, bs] for the nv-layout kernels
+    # (kernels/banded_nv.py) — the fused sparse path's zero-transpose
+    # aggregation; None unless banded_graph_op(nv=True)
+    slabs_nv: jax.Array | None = None
+    slabs_nv_t: jax.Array | None = None
 
     def apply_vn(self, x_vn: jax.Array, *,
                  scale: float | jax.Array = 1.0) -> jax.Array:
@@ -196,6 +201,45 @@ class BandedGraphOp(struct.PyTreeNode):
         t1, t2 = self.cheb_pair_vn(x_vn)
         return _unfold_from_vn(t1, lead_c), _unfold_from_vn(t2, lead_c)
 
+    # ----------------------------------------------------- nv layout
+    @property
+    def has_nv(self) -> bool:
+        return self.slabs_nv is not None
+
+    def apply_nv(self, x_nv: jax.Array, *,
+                 scale: float | jax.Array = 1.0) -> jax.Array:
+        """Apply to an ``[N, V]`` operand (the cv-layout reshape view —
+        no transpose; see :mod:`stgcn_tpu.kernels.banded_nv`)."""
+        from stgcn_tpu.kernels import banded_nv as nvk
+
+        unit = isinstance(scale, float) and scale == 1.0
+        if self.scales is not None:
+            scl = self.scales if unit else self.scales * scale
+            scl_t = self.scales_t if unit else self.scales_t * scale
+            slabs, slabs_t = self.slabs_nv, self.slabs_nv_t
+        else:
+            slabs = self.slabs_nv if unit else self.slabs_nv * scale
+            slabs_t = self.slabs_nv_t if unit else self.slabs_nv_t * scale
+            scl = scl_t = None
+        pad = self.v_pad - x_nv.shape[1]
+        if pad > 0:
+            x_nv = jnp.pad(x_nv, ((0, 0), (0, pad)))
+        y = nvk.banded_spmm_nv(slabs, self.lo, slabs_t, self.lo_t,
+                               x_nv[:, :self.v_pad], scl, scl_t)
+        return y
+
+    def cheb_pair_nv(self, x_nv: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """ks=3 recurrence on an ``[N, V]`` operand, one slab + one x
+        stream for both applications."""
+        from stgcn_tpu.kernels import banded_nv as nvk
+
+        pad = self.v_pad - x_nv.shape[1]
+        if pad > 0:
+            x_nv = jnp.pad(x_nv, ((0, 0), (0, pad)))
+        return nvk.cheb_pair_nv(self.slabs_nv, self.lo, self.slabs_nv_t,
+                                self.lo_t, x_nv[:, :self.v_pad],
+                                self.scales, self.scales_t)
+
 
 GraphOp = Any  # structural: anything with .n_vertex and __call__(x, scale=...)
 
@@ -230,7 +274,7 @@ def bcsr_graph_op(gso: GraphShiftOperator, *, block_size: int = 256,
 def banded_graph_op(gso: GraphShiftOperator, *, dtype=jnp.float32,
                     use_pallas: bool = True, quantize: bool = False,
                     block_size: int | None = None,
-                    stream: bool = True) -> BandedGraphOp:
+                    stream: bool = True, nv: bool = False) -> BandedGraphOp:
     # measured on v5e (100k RCM road graph): 256-row slabs fastest at
     # eval widths (n=128, resident-x); 512-row slabs ~1.13x faster at
     # training widths (n~1280, streaming: wider slabs cut the window
@@ -253,24 +297,41 @@ def banded_graph_op(gso: GraphShiftOperator, *, dtype=jnp.float32,
                                                    cheb_pair_stream_safe,
                                                    pack_banded_device)
 
+        from stgcn_tpu.graph.gso import effectively_symmetric
+
         sdt = jnp.int8 if quantize else dtype
         csr = sp.csr_matrix(gso.matrix)
         csr_t = csr.T.tocsr()
+        # symmetric-to-rounding-noise GSOs (every sym_* normalization)
+        # reuse one pack for both directions: consumers cast to
+        # f32/bf16/int8 where the ~1e-16 asymmetry vanishes
+        symmetric = effectively_symmetric(csr)
         # asymmetric matrices can have different natural paddings; pack
         # both with the shared max so x/g buffers match
         _, _, _, vp_f = _window_meta(csr, bs, bs, contain_diag=True)
-        _, _, _, vp_t = _window_meta(csr_t, bs, bs, contain_diag=True)
-        v_pad = max(vp_f, vp_t)
+        v_pad = vp_f
+        if not symmetric:
+            _, _, _, vp_t = _window_meta(csr_t, bs, bs, contain_diag=True)
+            v_pad = max(vp_f, vp_t)
         packed = pack_banded_device(
             csr, block_size=bs, col_align=bs, contain_diag=True,
             dtype=sdt, v_pad=v_pad)
-        packed_t = pack_banded_device(
+        packed_t = packed if symmetric else pack_banded_device(
             csr_t, block_size=bs, col_align=bs, contain_diag=True,
             dtype=sdt, v_pad=v_pad)
         slabs, lo = packed[0], packed[1]
         slabs_t, lo_t = packed_t[0], packed_t[1]
         scales = packed[3] if quantize else None
         scales_t = packed_t[3] if quantize else None
+        slabs_nv = slabs_nv_t = None
+        if nv:
+            # pre-transposed packs for the zero-transpose nv kernels
+            slabs_nv = pack_banded_device(
+                csr, block_size=bs, col_align=bs, contain_diag=True,
+                dtype=sdt, v_pad=v_pad, transpose_slabs=True)[0]
+            slabs_nv_t = slabs_nv if symmetric else pack_banded_device(
+                csr_t, block_size=bs, col_align=bs, contain_diag=True,
+                dtype=sdt, v_pad=v_pad, transpose_slabs=True)[0]
         w = slabs.shape[-1]
         return BandedGraphOp(slabs=slabs, lo=jnp.asarray(lo),
                              slabs_t=slabs_t, lo_t=jnp.asarray(lo_t),
@@ -280,7 +341,8 @@ def banded_graph_op(gso: GraphShiftOperator, *, dtype=jnp.float32,
                              pair_stream=(cheb_pair_stream_safe(lo, w, bs)
                                           and cheb_pair_stream_safe(
                                               lo_t, w, bs)),
-                             scales=scales, scales_t=scales_t)
+                             scales=scales, scales_t=scales_t,
+                             slabs_nv=slabs_nv, slabs_nv_t=slabs_nv_t)
 
     from stgcn_tpu.kernels.banded_spmm import pack_banded_with_transpose
 

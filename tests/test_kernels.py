@@ -380,3 +380,100 @@ def test_banded_int8_graph_op_close_to_dense():
     y2q, y2d = g_q(x, scale=2.0), g_d(x, scale=2.0)
     rel = float(jnp.max(jnp.abs(y2q - y2d)) / (jnp.max(jnp.abs(y2d)) + 1e-9))
     assert rel < 0.02
+
+
+def test_nv_layout_matches_vn_and_dense():
+    """nv-layout kernels (kernels/banded_nv.py): apply/pair on the [N, V]
+    operand must match the vn path transposed, and grads (incl. the slab
+    SDDMM) must match dense autodiff. Runs the jnp fallback on CPU; the
+    Pallas kernels are covered by tests/test_kernels_tpu.py."""
+    import numpy as np
+
+    from stgcn_tpu.data.synthetic import random_road_graph
+    from stgcn_tpu.graph import build_gso
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.ops.graph_op import banded_graph_op, dense_graph_op
+
+    adj = random_road_graph(700, k_neighbors=6, seed=3)
+    art = build_gso(adj, "sym_norm_lap", cheb=True)
+    art = type(art)(matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)),
+                    gso_type=art.gso_type, cheb_rescaled=art.cheb_rescaled,
+                    lam_max=art.lam_max)
+    gop = banded_graph_op(art, use_pallas=False, nv=True)
+    assert gop.has_nv and gop.slabs_nv is gop.slabs_nv_t  # symmetric reuse
+    rng = np.random.default_rng(1)
+    n = 96
+    x_nv = jnp.asarray(rng.standard_normal((n, gop.v_pad)).astype(np.float32))
+
+    y = gop.apply_nv(x_nv)
+    y_vn = gop.apply_vn(x_nv.T)
+    np.testing.assert_allclose(np.asarray(y)[:, :y_vn.shape[0]],
+                               np.asarray(y_vn).T, atol=2e-5)
+    t1, t2 = gop.cheb_pair_nv(x_nv)
+    r1, r2 = gop.cheb_pair_vn(x_nv.T)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(r1).T, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(r2).T, atol=2e-5)
+
+    # d/dx of the pair vs dense autodiff
+    g_d = dense_graph_op(art)
+    xd = x_nv[:, :700].T[None]  # [1, V, n] -> dense op wants [..., V, C]
+
+    def loss_nv(xx):
+        a, b = gop.cheb_pair_nv(xx)
+        return jnp.sum(jnp.sin(a)) + jnp.sum(jnp.cos(b))
+
+    def loss_dense(xx):
+        t1d = g_d(xx)
+        t2d = g_d(t1d, scale=2.0) - xx
+        pad = gop.v_pad - 700
+        f = lambda t: jnp.pad(t[0].T, ((0, 0), (0, pad)))
+        return jnp.sum(jnp.sin(f(t1d))) + jnp.sum(jnp.cos(f(t2d)))
+
+    gnv = jax.grad(loss_nv)(x_nv)
+    gd = jax.grad(loss_dense)(xd)
+    np.testing.assert_allclose(np.asarray(gnv)[:, :700],
+                               np.asarray(gd)[0].T, atol=3e-5)
+
+
+def test_nv_slab_gradient_matches_dense():
+    """d/dslabs through cheb_pair_nv (the scan-based band SDDMM) must match
+    autodiff through a dense formulation of the same pack."""
+    import numpy as np
+
+    from stgcn_tpu.data.synthetic import random_road_graph
+    from stgcn_tpu.graph import build_gso
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.kernels.banded_nv import _nv_ref, cheb_pair_nv
+    from stgcn_tpu.ops.graph_op import banded_graph_op
+
+    adj = random_road_graph(520, k_neighbors=5, seed=7)
+    art = build_gso(adj, "sym_norm_lap", cheb=True)
+    art = type(art)(matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)),
+                    gso_type=art.gso_type, cheb_rescaled=art.cheb_rescaled,
+                    lam_max=art.lam_max)
+    gop = banded_graph_op(art, use_pallas=False, nv=True)
+    rng = np.random.default_rng(2)
+    x_nv = jnp.asarray(rng.standard_normal((32, gop.v_pad)).astype(np.float32))
+
+    def loss(slabs):
+        t1, t2 = cheb_pair_nv(slabs, gop.lo, slabs, gop.lo_t, x_nv)
+        return jnp.sum(jnp.sin(t1)) + jnp.sum(jnp.cos(t2))
+
+    def loss_auto(slabs):
+        def one(v):
+            y = _nv_ref(slabs, gop.lo, v, None)
+            k = min(y.shape[1], gop.v_pad)
+            out = jnp.zeros((y.shape[0], gop.v_pad), y.dtype)
+            return out.at[:, :k].set(y[:, :k])
+
+        xc = jnp.pad(x_nv, ((0, 0), (0, max(0, slabs.shape[0]
+                                            * slabs.shape[2] - gop.v_pad))))
+        t1 = one(xc)
+        t1c = jnp.pad(t1, ((0, 0), (0, xc.shape[1] - t1.shape[1])))
+        t2 = 2.0 * one(t1c) - x_nv
+        return jnp.sum(jnp.sin(t1)) + jnp.sum(jnp.cos(t2))
+
+    g_vjp = jax.grad(loss)(gop.slabs_nv)
+    g_auto = jax.grad(loss_auto)(gop.slabs_nv)
+    np.testing.assert_allclose(np.asarray(g_vjp), np.asarray(g_auto),
+                               atol=3e-5)

@@ -362,3 +362,57 @@ def test_sharded_fused_p1_on_tpu(tpu_setup):
 
     flat, _ = jax.flatten_util.ravel_pytree(g)
     assert bool(jnp.all(jnp.isfinite(flat)))
+
+
+def test_nv_kernels_match_vn_on_tpu():
+    """nv-layout stream kernels (single/pair/chain) vs the vn kernels on
+    hardware: values and grads, bf16 and int8 packs."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU backend")
+    from stgcn_tpu.data.synthetic import random_road_graph
+    from stgcn_tpu.graph import build_gso
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.ops.graph_op import banded_graph_op
+
+    adj = random_road_graph(4000, k_neighbors=8, seed=0)
+    art = build_gso(adj, "sym_norm_lap", cheb=True)
+    art = type(art)(matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)),
+                    gso_type=art.gso_type, cheb_rescaled=art.cheb_rescaled,
+                    lam_max=art.lam_max)
+    rng = np.random.default_rng(1)
+    for quantize, dt in ((False, jnp.bfloat16), (True, jnp.bfloat16)):
+        gop = banded_graph_op(art, quantize=quantize, dtype=dt,
+                              block_size=256, nv=True)
+        x_nv = jnp.asarray(rng.standard_normal((256, gop.v_pad)), dt)
+        y = jax.jit(lambda g, xx: g.apply_nv(xx))(gop, x_nv)
+        yr = jax.jit(lambda g, xx: g.apply_vn(xx))(gop, x_nv.T)
+        k = yr.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(y[:, :k], np.float32), np.asarray(yr.T, np.float32),
+            atol=1e-5)
+        assert float(jnp.max(jnp.abs(y[:, k:]))) == 0.0
+
+        t1, t2 = jax.jit(lambda g, xx: g.cheb_pair_nv(xx))(gop, x_nv)
+        r1, r2 = jax.jit(lambda g, xx: g.cheb_pair_vn(xx))(gop, x_nv.T)
+        np.testing.assert_allclose(np.asarray(t1, np.float32),
+                                   np.asarray(r1.T, np.float32), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t2, np.float32),
+                                   np.asarray(r2.T, np.float32), atol=1e-5)
+
+        def loss_nv(xx):
+            a, b = gop.cheb_pair_nv(xx)
+            return (jnp.sum(a.astype(jnp.float32) * 0.3)
+                    + jnp.sum(b.astype(jnp.float32) * 0.7))
+
+        def loss_vn(xx):
+            a, b = gop.cheb_pair_vn(xx)
+            return (jnp.sum(a.astype(jnp.float32) * 0.3)
+                    + jnp.sum(b.astype(jnp.float32) * 0.7))
+
+        g_nv = jax.jit(jax.grad(loss_nv))(x_nv)
+        g_vn = jax.jit(jax.grad(loss_vn))(x_nv.T)
+        np.testing.assert_allclose(np.asarray(g_nv, np.float32),
+                                   np.asarray(g_vn.T, np.float32), atol=1e-5)
