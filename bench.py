@@ -83,7 +83,7 @@ def bench_calibration(reps=50):
 
 
 def bench_train_throughput(dataset="pems-bay", batch_size=32, measure_epochs=2,
-                           compute_dtype=None):
+                           compute_dtype=None, fused=False, graph_op="auto"):
     """Steady-state training throughput of the flagship config.
 
     Measures the production path: one jitted lax.scan per epoch (the
@@ -95,9 +95,11 @@ def bench_train_throughput(dataset="pems-bay", batch_size=32, measure_epochs=2,
     from stgcn_tpu.train.loop import TrainConfig
 
     cfg = TrainConfig(batch_size=batch_size, droprate=0.5,
-                      compute_dtype=compute_dtype,
+                      compute_dtype=compute_dtype, fused=fused,
                       ckpt_dir="/tmp/bench_ckpt", dataset_name=dataset)
-    trainer = build_trainer(cfg, dataset=dataset, data_root=os.path.join(ROOT, "data"))
+    trainer = build_trainer(cfg, dataset=dataset,
+                            data_root=os.path.join(ROOT, "data"),
+                            graph_op_kind=graph_op)
     steps_per_epoch = trainer.steps_per_epoch
     log(f"[train] {dataset}: {trainer.train_ds.num_windows} windows, "
         f"{steps_per_epoch} steps/epoch (batch {batch_size}, "
