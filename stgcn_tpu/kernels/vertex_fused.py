@@ -30,9 +30,13 @@ V]``: Pallas pins row-major operand layouts, and with C ∈ {8, 16} in
 the lane dimension the TPU (8, 128) tiling would pad HBM buffers 8–16×
 (measured: a B=8 100k-vertex train step demanded 15.3 GB of temps at
 15% utilization). C sits in sublanes (multiple of 8), V in lanes
-(multiple of 128): zero padding; tiles are transposed to vertex-major
-in VMEM (:func:`_cv2vc`, ~µs-scale) around the channel-contracting
-dots.
+(multiple of 128): zero padding. The kernel math is cv-native — every
+channel contraction runs as a (b·t)-batched ``[g, c] @ [c, v]`` MXU dot
+(contraction in RHS sublanes / LHS lanes, :func:`_bdot`), so no
+cv↔vc tile transposes exist on the hot path (the earlier vc-internal
+formulation paid ~9 µs of VPU transpose per 128-vertex tile — ~8.7 ms
+per kernel sweep at 100k vertices; probe: ``scripts/probe_cv_dot.py``,
+batched cv dots measure at the copy floor on every shape).
 
 Both kernels ship hand-written recompute-based backward kernels wired
 via ``custom_vjp`` (the forward is cheap to recompute per tile), with
@@ -61,17 +65,12 @@ from stgcn_tpu.kernels.fused_stblock import (
     _BF16,
     _F32,
     _PRECISIONS,
-    _dot,
-    _dot_t_a,
     _fsum,
-    _gate_bwd,
-    _gate_fwd,
-    _pad_channels,
+    _pos_mask,
     _round_up,
     _shift_pad_t,
+    _sigmoid,
     _sum_vc,
-    _tconv_bwd,
-    _tconv_fwd,
 )
 
 
@@ -156,16 +155,9 @@ def pick_b_tile(cfg: VertexBlockCfg, b: int,
 # --------------------------------------------------------------------------
 
 def _cv2vc(x):
-    """[b, t, c, v_tile] → [b, t, v_tile, c].
-
-    All kernel I/O crosses HBM in channel-before-vertex ("cv") layout:
-    Pallas custom-calls pin operands to row-major ``{3,2,1,0}``, whose
-    TPU tiling pads the minor two dims to (8, 128) — a ``[..., V, 16]``
-    array would burn 8× HBM (measured: a 100k-vertex B=8 train step
-    "filled" 15.3 GB at 15% utilization). With C in sublanes (multiple
-    of 8) and V in lanes (multiple of 128) the padding is zero; the
-    kernels transpose tiles to vertex-major internally (the minor-2-dim
-    batched transpose costs ~2-3 µs, see fused_stblock's layout study)."""
+    """[b, t, c, v_tile] → [b, t, v_tile, c]. NOT on the kernel hot path
+    anymore (the cores are cv-native, see :func:`_bdot`); kept as the
+    layout-study reference and for ``scripts/bench_copy_kernel.py``."""
     b, t, c, v = x.shape
     return jnp.transpose(x.reshape(b * t, c, v), (0, 2, 1)).reshape(
         b, t, v, c)
@@ -178,12 +170,138 @@ def _vc2cv(x):
         b, t, c, v)
 
 
+def _bdot(x, w, prec=None):
+    """cv-layout channel contraction ``[bt, t, c, v] × [c, g] → [bt, t,
+    g, v]`` (f32 result) as a (bt·t)-batched ``[g, c] @ [c, v]`` matmul:
+    the contraction sits in the RHS sublanes / LHS lanes — the MXU's
+    native row-major operand layout — so no cv↔vc transpose is needed.
+    Measured at the copy floor for every (c, g) the kernels use
+    (``scripts/probe_cv_dot.py``; the broadcast of ``w`` is free)."""
+    bt, t, c, v = x.shape
+    g = w.shape[1]
+    if c == 1:  # K=1 degenerate dot: outer-product broadcast on the VPU
+        return w.astype(_F32).T.reshape(1, 1, g, 1) * x.astype(_F32)
+    xr = x.reshape(bt * t, c, v)
+    wb = jnp.broadcast_to(w.T[None], (bt * t, g, c))
+    out = lax.dot_general(wb, xr, (((2,), (1,)), ((0,), (0,))),
+                          preferred_element_type=_F32, precision=prec)
+    return out.reshape(bt, t, g, v)
+
+
+def _bdot_sum(a, b, prec=None):
+    """cv-layout weight-gradient contraction: Σ over (bt, t, v) of
+    ``a[.., ca, v] · b[.., cb, v] → [ca, cb]`` f32 — batched ``A @ Bᵀ``
+    with the v contraction in both operands' lanes, then a tiny
+    batch-axis reduction."""
+    bt, t, ca, v = a.shape
+    cb = b.shape[2]
+    out = lax.dot_general(a.reshape(bt * t, ca, v), b.reshape(bt * t, cb, v),
+                          (((2,), (2,)), ((0,), (0,))),
+                          preferred_element_type=_F32, precision=prec)
+    return jnp.sum(out, axis=0)
+
+
+def _pad_channels_cv(x4, c_out):
+    """Zero-pad channel align on the cv channel axis (-2)
+    (`model/layers.py:17-19`); identity if equal."""
+    c_in = x4.shape[2]
+    if c_in == c_out:
+        return x4
+    if c_in > c_out:
+        raise ValueError("fused block supports c_in <= c_out align only")
+    return jnp.pad(x4, ((0, 0), (0, 0), (0, c_out - c_in), (0, 0)))
+
+
+def _gate_fwd_cv(cfg, s, xin, c, want_aux: bool = False):
+    """cv-layout mirror of ``fused_stblock._gate_fwd`` (reference gate
+    semantics `model/layers.py:105,109,111-115`; channel axis -2)."""
+    aux = {}
+    if cfg.gated:
+        p, q = s[:, :, :c, :], s[:, :, c:, :]
+        lin = p + xin
+        sq = _sigmoid(q)
+        aux["sq"] = sq
+        if cfg.act_func == "glu":
+            a = lin * sq
+        else:
+            th = jnp.tanh(lin)
+            aux["th"] = th
+            a = th * sq
+    else:
+        z = s + xin
+        if cfg.act_func == "relu":
+            a = jnp.maximum(z, 0)
+        else:  # silu
+            sz = _sigmoid(z)
+            aux["sq"] = sz
+            a = z * sz
+    return (a, aux) if want_aux else a
+
+
+def _gate_bwd_cv(cfg, s, xin, c, da, aux=None):
+    """cv-layout mirror of ``fused_stblock._gate_bwd``; returns
+    (ds, dxin)."""
+    one = s.dtype.type(1.0)
+    aux = aux or {}
+    if cfg.gated:
+        p, q = s[:, :, :c, :], s[:, :, c:, :]
+        lin = p + xin
+        sq = aux.get("sq")
+        if sq is None:
+            sq = _sigmoid(q)
+        if cfg.act_func == "glu":
+            dlin = da * sq
+            dq = da * lin * sq * (one - sq)
+        else:  # gtu
+            th = aux.get("th")
+            if th is None:
+                th = jnp.tanh(lin)
+            dlin = da * sq * (one - th * th)
+            dq = da * th * sq * (one - sq)
+        return jnp.concatenate([dlin, dq], axis=2), dlin
+    z = s + xin
+    if cfg.act_func == "relu":
+        dz = da * _pos_mask(z)
+    else:  # silu
+        sz = aux.get("sq")
+        if sz is None:
+            sz = _sigmoid(z)
+        dz = da * sz * (one + z * (one - sz))
+    return dz, dz
+
+
+def _tconv_fwd_cv(x4, kernel, bias, kt, prec=None):
+    """Tap-decomposed valid temporal conv on cv tiles, one batched dot
+    per tap. ``x4``: [bt, t, c_in, v]; ``kernel``: [kt, c_in, c_out]."""
+    t_out = x4.shape[1] - kt + 1
+    acc = _bdot(x4[:, 0:t_out], kernel[0], prec)
+    for k in range(1, kt):
+        acc = acc + _bdot(x4[:, k:k + t_out], kernel[k], prec)
+    return (acc + bias.astype(_F32)[:, None]).astype(x4.dtype)
+
+
+def _tconv_bwd_cv(x4, ds, kernel, kt, prec):
+    """Backward of the cv tap-decomposed conv: (dkernel, dbias, dx)."""
+    t_out = ds.shape[1]
+    t_total = x4.shape[1]
+    dk = jnp.stack([_bdot_sum(x4[:, k:k + t_out], ds, prec)
+                    for k in range(kt)])
+    db = _fsum(ds, (0, 1, 3))
+    dx = _shift_pad_t(_bdot(ds, kernel[0].T, prec).astype(ds.dtype),
+                      0, t_total)
+    for k in range(1, kt):
+        dx = dx + _shift_pad_t(_bdot(ds, kernel[k].T, prec).astype(ds.dtype),
+                               k, t_total)
+    return dk, db, dx
+
+
 def _ln_drop_fwd(cfg, x4, mu, rstd, lng, lnb, mask):
     """Normalize the previous block's pre-LN output with given scalar
-    stats, apply the (V, C) affine, then dropout. ``mu``/``rstd``:
-    [B, T, 1, 1] keepdims (Mosaic cannot reshape a 2D vector to
-    trailing-singleton 4D, so stats stay 4D end-to-end); ``lng``/``lnb``:
-    [tile_v, c] (zero on padded rows)."""
+    stats, apply the (V, C) affine, then dropout. All operands cv-layout:
+    ``x4`` [bt, t, c, v_tile]; ``mu``/``rstd``: [B, T, 1, 1] keepdims
+    (Mosaic cannot reshape a 2D vector to trailing-singleton 4D, so stats
+    stay 4D end-to-end); ``lng``/``lnb``: [c, tile_v] (zero on padded
+    rows)."""
     cdt = x4.dtype
     xn = (x4.astype(_F32) - mu) * rstd
     y = (xn * lng + lnb).astype(cdt)
@@ -208,14 +326,15 @@ def _ln_drop_bwd(cfg, x4, mu, rstd, lng, lnb, mask, dy):
 
 
 def _head_core(cfg, x4, w):
-    """tconv1 → gate → align; ``x4`` already normalized/dropped.
-    Returns dict of intermediates."""
+    """tconv1 → gate → align on cv tiles; ``x4`` already
+    normalized/dropped. Returns dict of intermediates."""
     c1k, c1b, gaw, gab = w
     prec = _PRECISIONS[cfg.precision]
-    s1 = _tconv_fwd(x4, c1k, c1b, cfg.kt, prec)
-    xin1 = _pad_channels(x4[:, cfg.kt - 1:], cfg.c0)
-    a1, aux1 = _gate_fwd(cfg, s1, xin1, cfg.c0, want_aux=True)
-    xg = (_dot(a1, gaw, prec) + gab.astype(_F32)).astype(a1.dtype)
+    s1 = _tconv_fwd_cv(x4, c1k, c1b, cfg.kt, prec)
+    xin1 = _pad_channels_cv(x4[:, cfg.kt - 1:], cfg.c0)
+    a1, aux1 = _gate_fwd_cv(cfg, s1, xin1, cfg.c0, want_aux=True)
+    xg = (_bdot(a1, gaw, prec)
+          + gab.astype(_F32)[:, None]).astype(a1.dtype)
     return dict(s1=s1, xin1=xin1, a1=a1, xg=xg, aux1=aux1)
 
 
@@ -224,55 +343,54 @@ def _head_core_bwd(cfg, x4, w, fw, dxg):
     c1k, c1b, gaw, gab = w
     prec = _PRECISIONS[cfg.precision]
     cdt = x4.dtype
-    dgaw = _dot_t_a(fw["a1"], dxg, prec)
-    dgab = _fsum(dxg, (0, 1, 2))
-    da1 = _dot(dxg, gaw.T, prec).astype(cdt)
-    ds1, dxin1 = _gate_bwd(cfg, fw["s1"], fw["xin1"], cfg.c0, da1,
-                           aux=fw.get("aux1"))
-    dc1k, dc1b, dx4 = _tconv_bwd(x4, ds1, c1k, cfg.kt, prec)
-    dx4 = dx4 + _shift_pad_t(dxin1[..., : cfg.c_in], cfg.kt - 1, cfg.t_in)
+    dgaw = _bdot_sum(fw["a1"], dxg, prec)
+    dgab = _fsum(dxg, (0, 1, 3))
+    da1 = _bdot(dxg, gaw.T, prec).astype(cdt)
+    ds1, dxin1 = _gate_bwd_cv(cfg, fw["s1"], fw["xin1"], cfg.c0, da1,
+                              aux=fw.get("aux1"))
+    dc1k, dc1b, dx4 = _tconv_bwd_cv(x4, ds1, c1k, cfg.kt, prec)
+    dx4 = dx4 + _shift_pad_t(dxin1[:, :, : cfg.c_in, :], cfg.kt - 1,
+                             cfg.t_in)
     return dict(dx4=dx4, dc1k=dc1k, dc1b=dc1b, dgaw=dgaw, dgab=dgab)
 
 
 def _tail_core(cfg, xg, terms, w):
-    """Weight contraction (+bias) → residual → ReLU → tconv2 → gate.
-    ``terms``: the graph outputs [T_1..] (cheb) or [G x] (graph_conv);
-    for cheb the contraction also includes T_0 = xg."""
+    """Weight contraction (+bias) → residual → ReLU → tconv2 → gate, on
+    cv tiles. ``terms``: the graph outputs [T_1..] (cheb) or [G x]
+    (graph_conv); for cheb the contraction also includes T_0 = xg."""
     gcw, gcb, c2k, c2b = w
     prec = _PRECISIONS[cfg.precision]
     cterms = ([xg] + list(terms) if cfg.graph_conv_type == "cheb_graph_conv"
               else list(terms))
-    out = _dot(cterms[0], gcw[0], prec)
+    out = _bdot(cterms[0], gcw[0], prec)
     for k in range(1, len(cterms)):
-        out = out + _dot(cterms[k], gcw[k], prec)
-    gc = (out + gcb.astype(_F32)).astype(xg.dtype)
+        out = out + _bdot(cterms[k], gcw[k], prec)
+    gc = (out + gcb.astype(_F32)[:, None]).astype(xg.dtype)
     r = gc + xg
     h = jnp.maximum(r, 0)
-    s2 = _tconv_fwd(h, c2k, c2b, cfg.kt, prec)
-    xin2 = _pad_channels(h[:, cfg.kt - 1:], cfg.c2)
-    a2, aux2 = _gate_fwd(cfg, s2, xin2, cfg.c2, want_aux=True)
+    s2 = _tconv_fwd_cv(h, c2k, c2b, cfg.kt, prec)
+    xin2 = _pad_channels_cv(h[:, cfg.kt - 1:], cfg.c2)
+    a2, aux2 = _gate_fwd_cv(cfg, s2, xin2, cfg.c2, want_aux=True)
     return dict(r=r, h=h, s2=s2, xin2=xin2, a2=a2, aux2=aux2,
                 cterms=cterms)
 
 
 def _tail_core_bwd(cfg, xg, terms, w, fw, da2):
     """Backward of `_tail_core`: returns dxg, dterms and weight grads."""
-    from stgcn_tpu.kernels.fused_stblock import _pos_mask
-
     gcw, gcb, c2k, c2b = w
     prec = _PRECISIONS[cfg.precision]
     cdt = xg.dtype
-    ds2, dxin2 = _gate_bwd(cfg, fw["s2"], fw["xin2"], cfg.c2, da2,
-                           aux=fw.get("aux2"))
-    dc2k, dc2b, dh = _tconv_bwd(fw["h"], ds2, c2k, cfg.kt, prec)
-    dh = dh + _shift_pad_t(dxin2[..., : cfg.c1], cfg.kt - 1, cfg.t1)
+    ds2, dxin2 = _gate_bwd_cv(cfg, fw["s2"], fw["xin2"], cfg.c2, da2,
+                              aux=fw.get("aux2"))
+    dc2k, dc2b, dh = _tconv_bwd_cv(fw["h"], ds2, c2k, cfg.kt, prec)
+    dh = dh + _shift_pad_t(dxin2[:, :, : cfg.c1, :], cfg.kt - 1, cfg.t1)
     dr = dh * _pos_mask(fw["r"])
     dgc = dr
     cterms = fw["cterms"]
-    dgcw = jnp.stack([_dot_t_a(cterms[k], dgc, prec)
+    dgcw = jnp.stack([_bdot_sum(cterms[k], dgc, prec)
                       for k in range(len(cterms))])
-    dgcb = _fsum(dgc, (0, 1, 2))
-    dcterms = [_dot(dgc, gcw[k].T, prec).astype(cdt)
+    dgcb = _fsum(dgc, (0, 1, 3))
+    dcterms = [_bdot(dgc, gcw[k].T, prec).astype(cdt)
                for k in range(len(cterms))]
     if cfg.graph_conv_type == "cheb_graph_conv":
         dxg = dr + dcterms[0]
@@ -298,13 +416,14 @@ def _drop_mask(cfg, seed, shape):
 
 
 def _vmask(cfg, vtrue):
-    """[1, 1, tile_v, 1] f32 mask of true-vertex rows for this grid step.
-    ``vtrue`` is a dynamic scalar (prefetch arg) so the same compiled
-    kernel serves every shard of a vertex-partitioned mesh, where the
-    local true-row count differs per shard. The grid is ``(batch tiles,
-    vertex tiles)`` — vertex index is dim 1."""
+    """[1, 1, 1, tile_v] f32 mask of true-vertex lanes for this grid step
+    (cv layout: vertices in lanes). ``vtrue`` is a dynamic scalar
+    (prefetch arg) so the same compiled kernel serves every shard of a
+    vertex-partitioned mesh, where the local true-row count differs per
+    shard. The grid is ``(batch tiles, vertex tiles)`` — vertex index is
+    dim 1."""
     rows = pl.program_id(1) * cfg.tile_v + lax.broadcasted_iota(
-        jnp.int32, (cfg.tile_v, 1), 0)
+        jnp.int32, (1, cfg.tile_v), 1)
     return (rows < vtrue).astype(_F32)[None, None, :, :]
 
 
@@ -323,15 +442,15 @@ def _make_head_fwd_kernel(cfg, b):
              c1k, c1b, gaw, gab, out_ref) = refs
         else:
             x_ref, c1k, c1b, gaw, gab, out_ref = refs
-        x4 = _cv2vc(x_ref[...])
+        x4 = x_ref[...]
         if cfg.apply_ln:
             mask = None
             if cfg.training and cfg.droprate > 0.0:
                 mask = _drop_mask(cfg, seed_ref[0], x4.shape)
             x4 = _ln_drop_fwd(cfg, x4, mu_ref[...], rstd_ref[...],
-                              lng_ref[...].T, lnb_ref[...].T, mask)
+                              lng_ref[...], lnb_ref[...], mask)
         fw = _head_core(cfg, x4, (c1k[...], c1b[...], gaw[...], gab[...]))
-        out_ref[...] = _vc2cv(fw["xg"])
+        out_ref[...] = fw["xg"]
 
     return kernel
 
@@ -347,28 +466,28 @@ def _make_head_bwd_kernel(cfg, b):
             (x_ref, c1k, c1b, gaw, gab, gy_ref,
              dx_ref, dc1k_ref, dc1b_ref, dgaw_ref, dgab_ref) = refs
         w = (c1k[...], c1b[...], gaw[...], gab[...])
-        x4raw = _cv2vc(x_ref[...])
+        x4raw = x_ref[...]
         mask = None
         if cfg.apply_ln:
             if cfg.training and cfg.droprate > 0.0:
                 mask = _drop_mask(cfg, seed_ref[0], x4raw.shape)
             x4 = _ln_drop_fwd(cfg, x4raw, mu_ref[...], rstd_ref[...],
-                              lng_ref[...].T, lnb_ref[...].T, mask)
+                              lng_ref[...], lnb_ref[...], mask)
         else:
             x4 = x4raw
         fw = _head_core(cfg, x4, w)
-        bw = _head_core_bwd(cfg, x4, w, fw, _cv2vc(gy_ref[...]))
+        bw = _head_core_bwd(cfg, x4, w, fw, gy_ref[...])
 
         if cfg.apply_ln:
             dx, dmu, drstd, dlng, dlnb = _ln_drop_bwd(
-                cfg, x4raw, mu_ref[...], rstd_ref[...], lng_ref[...].T,
-                lnb_ref[...].T, mask, bw["dx4"])
-            dx_ref[...] = _vc2cv(dx)
+                cfg, x4raw, mu_ref[...], rstd_ref[...], lng_ref[...],
+                lnb_ref[...], mask, bw["dx4"])
+            dx_ref[...] = dx
             # per-(batch tile) partials: a [tile_v] output block would be
             # revisited NON-consecutively across batch tiles, which Mosaic
             # does not re-fetch — the caller sums over the leading axis.
-            dlng_ref[...] = dlng.T[None]
-            dlnb_ref[...] = dlnb.T[None]
+            dlng_ref[...] = dlng[None]
+            dlnb_ref[...] = dlnb[None]
 
             # dmu/drstd blocks are constant over the inner (vertex) grid
             # dim, so accumulation across consecutive steps is safe.
@@ -380,7 +499,7 @@ def _make_head_bwd_kernel(cfg, b):
             dmu_ref[...] += dmu
             drstd_ref[...] += drstd
         else:
-            dx_ref[...] = _vc2cv(bw["dx4"])
+            dx_ref[...] = bw["dx4"]
 
         @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
         def _init():
@@ -578,11 +697,11 @@ def _make_tail_fwd_kernel(cfg, b):
         term_refs = refs[1:1 + nt]
         gcw, gcb, c2k, c2b = refs[1 + nt:5 + nt]
         a2_ref, ps_ref, pss_ref = refs[5 + nt:]
-        fw = _tail_core(cfg, _cv2vc(xg_ref[...]),
-                        [_cv2vc(t[...]) for t in term_refs],
+        fw = _tail_core(cfg, xg_ref[...],
+                        [t[...] for t in term_refs],
                         (gcw[...], gcb[...], c2k[...], c2b[...]))
         a2 = fw["a2"]
-        a2_ref[...] = _vc2cv(a2)
+        a2_ref[...] = a2
         vm = _vmask(cfg, scal_ref[0])
         a32 = a2.astype(_F32) * vm
         # LN partials accumulate across the inner vertex sweep (their
@@ -610,20 +729,20 @@ def _make_tail_bwd_kernel(cfg, b):
         dterm_refs = refs[9 + nt:9 + 2 * nt]
         (dgcw_ref, dgcb_ref, dc2k_ref, dc2b_ref) = refs[9 + 2 * nt:]
         w = (gcw[...], gcb[...], c2k[...], c2b[...])
-        xg = _cv2vc(xg_ref[...])
-        terms = [_cv2vc(t[...]) for t in term_refs]
+        xg = xg_ref[...]
+        terms = [t[...] for t in term_refs]
         fw = _tail_core(cfg, xg, terms, w)
-        # fold the LN-partial cotangents into da2 (masked to true rows):
-        # ps = Σ a2, pss = Σ a2² over (tile rows, c2) per (b, t2)
+        # fold the LN-partial cotangents into da2 (masked to true lanes):
+        # ps = Σ a2, pss = Σ a2² over (tile lanes, c2) per (b, t2)
         vm = _vmask(cfg, scal_ref[0])
-        da2 = (_cv2vc(ga2_ref[...]).astype(_F32)
+        da2 = (ga2_ref[...].astype(_F32)
                + (gps_ref[...]
                   + 2.0 * gpss_ref[...] * fw["a2"].astype(_F32))
                * vm).astype(xg.dtype)
         bw = _tail_core_bwd(cfg, xg, terms, w, fw, da2)
-        dxg_ref[...] = _vc2cv(bw["dxg"])
+        dxg_ref[...] = bw["dxg"]
         for r, dt in zip(dterm_refs, bw["dterms"]):
-            r[...] = _vc2cv(dt)
+            r[...] = dt
 
         @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
         def _init():
@@ -771,22 +890,20 @@ tail_fused.defvjp(_tail_fused_fwd, _tail_fused_bwd)
 # --------------------------------------------------------------------------
 
 def head_reference(cfg, x, ln, w, drop_mask=None):
-    """Whole-array jnp mirror of `head_fused` (cv-layout I/O,
-    drop_mask pre-scaled in vc orientation)."""
-    x = jnp.swapaxes(x, -1, -2)
+    """Whole-array jnp mirror of `head_fused` (cv-layout I/O throughout;
+    drop_mask pre-scaled, cv orientation)."""
     if cfg.apply_ln:
         mu, rstd, lng, lnb = ln
-        x = _ln_drop_fwd(cfg, x, mu, rstd, lng.T, lnb.T, drop_mask)
-    return jnp.swapaxes(_head_core(cfg, x, w)["xg"], -1, -2)
+        x = _ln_drop_fwd(cfg, x, mu, rstd, lng, lnb, drop_mask)
+    return _head_core(cfg, x, w)["xg"]
 
 
 def tail_reference(cfg, xg, terms, w):
     """Whole-array jnp mirror of `tail_fused` (cv-layout I/O)."""
-    fw = _tail_core(cfg, jnp.swapaxes(xg, -1, -2),
-                    [jnp.swapaxes(t, -1, -2) for t in terms], w)
+    fw = _tail_core(cfg, xg, terms, w)
     a2 = fw["a2"]
-    vm = (jnp.arange(cfg.v_pad)[:, None] < cfg.v_true).astype(_F32)
+    vm = (jnp.arange(cfg.v_pad) < cfg.v_true).astype(_F32)
     a32 = a2.astype(_F32) * vm
     ps = jnp.sum(a32, axis=(2, 3), keepdims=True)
     pss = jnp.sum(a32 * a32, axis=(2, 3), keepdims=True)
-    return jnp.swapaxes(a2, -1, -2), ps, pss
+    return a2, ps, pss
