@@ -408,6 +408,13 @@ def main():
     train_large = bench_train_throughput(args.dataset, batch_size=512,
                                          measure_epochs=2,
                                          compute_dtype="bfloat16")
+    # same config through the vertex-fused blocks + dense nv aggregation
+    # (the fused configs[2] path; measured faster than unfused since the
+    # cv-native kernel rewrite — scripts/probe_configs2_vf.py)
+    train_large_fused = bench_train_throughput(args.dataset, batch_size=512,
+                                               measure_epochs=2,
+                                               compute_dtype="bfloat16",
+                                               fused=True)
     spmm = None if args.skip_spmm else bench_spmm(n_vertex=args.spmm_vertices)
     train_100k = None if args.skip_100k else bench_train_100k()
     scaling = None if args.skip_scaling else bench_scaling()
@@ -448,6 +455,9 @@ def main():
                   **{k: round(v, 6) for k, v in train.items()}},
         "train_large_batch": {"device": device,
                               **{k: round(v, 6) for k, v in train_large.items()}},
+        "train_large_batch_fused": {
+            "device": device,
+            **{k: round(v, 6) for k, v in train_large_fused.items()}},
     }
     if spmm:
         out["spmm"] = {k: (round(v, 6) if isinstance(v, float) else v)

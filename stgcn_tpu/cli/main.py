@@ -92,7 +92,9 @@ def get_parameters(argv=None):
                         choices=["float32", "bfloat16"],
                         help="bfloat16 = mixed-precision training (f32 params/LN)")
     parser.add_argument("--fused", type=_str2bool, default=False,
-                        help="fused ST-block Pallas kernels (dense GSO only)")
+                        help="vertex-fused ST-block Pallas kernels (sparse "
+                             "ops aggregate via banded/ELL SpMM, dense ops "
+                             "via the nv dense matmul)")
     parser.add_argument("--remat", type=_str2bool, default=False,
                         help="checkpoint/rematerialize ST blocks (100k+ vertices)")
     # --- multi-chip (SURVEY §2.9-2.10) ---

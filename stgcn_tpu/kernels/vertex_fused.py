@@ -97,6 +97,8 @@ class VertexBlockCfg:
     interpret: bool = False
     precision: str = "default"
     b_tile: int = 0      # batch tile (0 = whole batch per grid step)
+    backend: str = "pallas"  # "pallas" (Mosaic kernels) | "xla" (whole-array
+    #                          cv-layout jnp cores, autodiff backward)
 
     @property
     def gated(self) -> bool:
@@ -188,6 +190,19 @@ def _bdot(x, w, prec=None):
     return out.reshape(bt, t, g, v)
 
 
+def _bdot_xla(x, w, prec=None):
+    """XLA-path twin of :func:`_bdot` — a plain einsum so XLA picks its
+    own batching/layout instead of materializing the broadcast weight
+    (the explicit batched form is Mosaic-only; at B=512 the broadcast
+    would be ~80 MB in HBM)."""
+    return jnp.einsum("btcv,cg->btgv", x, w, precision=prec,
+                      preferred_element_type=_F32)
+
+
+def _dot_of(cfg):
+    return _bdot_xla if cfg.backend == "xla" else _bdot
+
+
 def _bdot_sum(a, b, prec=None):
     """cv-layout weight-gradient contraction: Σ over (bt, t, v) of
     ``a[.., ca, v] · b[.., cb, v] → [ca, cb]`` f32 — batched ``A @ Bᵀ``
@@ -270,13 +285,13 @@ def _gate_bwd_cv(cfg, s, xin, c, da, aux=None):
     return dz, dz
 
 
-def _tconv_fwd_cv(x4, kernel, bias, kt, prec=None):
+def _tconv_fwd_cv(x4, kernel, bias, kt, prec=None, dot=_bdot):
     """Tap-decomposed valid temporal conv on cv tiles, one batched dot
     per tap. ``x4``: [bt, t, c_in, v]; ``kernel``: [kt, c_in, c_out]."""
     t_out = x4.shape[1] - kt + 1
-    acc = _bdot(x4[:, 0:t_out], kernel[0], prec)
+    acc = dot(x4[:, 0:t_out], kernel[0], prec)
     for k in range(1, kt):
-        acc = acc + _bdot(x4[:, k:k + t_out], kernel[k], prec)
+        acc = acc + dot(x4[:, k:k + t_out], kernel[k], prec)
     return (acc + bias.astype(_F32)[:, None]).astype(x4.dtype)
 
 
@@ -330,10 +345,11 @@ def _head_core(cfg, x4, w):
     normalized/dropped. Returns dict of intermediates."""
     c1k, c1b, gaw, gab = w
     prec = _PRECISIONS[cfg.precision]
-    s1 = _tconv_fwd_cv(x4, c1k, c1b, cfg.kt, prec)
+    dot = _dot_of(cfg)
+    s1 = _tconv_fwd_cv(x4, c1k, c1b, cfg.kt, prec, dot)
     xin1 = _pad_channels_cv(x4[:, cfg.kt - 1:], cfg.c0)
     a1, aux1 = _gate_fwd_cv(cfg, s1, xin1, cfg.c0, want_aux=True)
-    xg = (_bdot(a1, gaw, prec)
+    xg = (dot(a1, gaw, prec)
           + gab.astype(_F32)[:, None]).astype(a1.dtype)
     return dict(s1=s1, xin1=xin1, a1=a1, xg=xg, aux1=aux1)
 
@@ -360,15 +376,16 @@ def _tail_core(cfg, xg, terms, w):
     (graph_conv); for cheb the contraction also includes T_0 = xg."""
     gcw, gcb, c2k, c2b = w
     prec = _PRECISIONS[cfg.precision]
+    dot = _dot_of(cfg)
     cterms = ([xg] + list(terms) if cfg.graph_conv_type == "cheb_graph_conv"
               else list(terms))
-    out = _bdot(cterms[0], gcw[0], prec)
+    out = dot(cterms[0], gcw[0], prec)
     for k in range(1, len(cterms)):
-        out = out + _bdot(cterms[k], gcw[k], prec)
+        out = out + dot(cterms[k], gcw[k], prec)
     gc = (out + gcb.astype(_F32)[:, None]).astype(xg.dtype)
     r = gc + xg
     h = jnp.maximum(r, 0)
-    s2 = _tconv_fwd_cv(h, c2k, c2b, cfg.kt, prec)
+    s2 = _tconv_fwd_cv(h, c2k, c2b, cfg.kt, prec, dot)
     xin2 = _pad_channels_cv(h[:, cfg.kt - 1:], cfg.c2)
     a2, aux2 = _gate_fwd_cv(cfg, s2, xin2, cfg.c2, want_aux=True)
     return dict(r=r, h=h, s2=s2, xin2=xin2, a2=a2, aux2=aux2,

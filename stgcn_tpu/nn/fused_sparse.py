@@ -140,6 +140,27 @@ def _st_block(cfg: VertexBlockCfg, gop: Any, seed, vtrue, head_in, mu,
     from jax.ad_checkpoint import checkpoint_name
 
     c1k, c1b, gaw, gab, gcw, gcb, c2k, c2b = w
+    if cfg.backend == "xla":
+        # whole-array cv-layout jnp cores (vertex_fused.*_reference):
+        # same math, XLA fusion + autodiff backward instead of Mosaic.
+        from stgcn_tpu.kernels.vertex_fused import (head_reference,
+                                                    tail_reference)
+
+        mask = None
+        if cfg.training and cfg.droprate > 0.0 and cfg.apply_ln:
+            key = jax.random.PRNGKey(seed)
+            keep = jax.random.bernoulli(key, 1.0 - cfg.droprate,
+                                        head_in.shape)
+            mask = (keep.astype(jnp.float32)
+                    / (1.0 - cfg.droprate)).astype(head_in.dtype)
+        xg = head_reference(cfg, head_in, (mu, rstd, lng_p, lnb_p),
+                            (c1k, c1b, gaw, gab), mask)
+        xg = checkpoint_name(xg, "stgcn_xg")
+        t_a, t_b = _graph_terms(cfg, gop, xg)
+        t_a = checkpoint_name(t_a, "stgcn_graph_term")
+        t_b = checkpoint_name(t_b, "stgcn_graph_term")
+        return tail_reference(cfg, xg, [t_a, t_b][: cfg.n_terms],
+                              (gcw, gcb, c2k, c2b))
     xg = head_fused(cfg, seed, head_in, mu, rstd, lng_p, lnb_p,
                     c1k, c1b, gaw, gab)
     xg = checkpoint_name(xg, "stgcn_xg")
@@ -287,12 +308,21 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
         raise NotImplementedError("vertex-fused path supports Ks <= 3")
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" or bool(interpret)
-    if not use_pallas:
+    backend = "pallas"
+    if use_pallas == "xla":
+        # whole-array cv-layout jnp blocks — same channel-before-vertex
+        # layout (kills the 2x lane padding of [.., V, 64] tensors at
+        # small V) with XLA fusion instead of Mosaic kernels
+        backend = "xla"
+    elif not use_pallas:
         # CPU / oracle path: the unfused model is the exact same math
         rngs = None if (deterministic or rng is None) else {"dropout": rng}
         return model.apply({"params": params}, x, gop,
                            deterministic=deterministic, rngs=rngs)
     sharded = hasattr(gop, "mesh") and hasattr(gop, "halo")
+    if sharded and backend == "xla":
+        raise NotImplementedError("use_pallas='xla' is single-device; the "
+                                  "sharded path runs the Pallas kernels")
     if sharded:
         v_pad = gv  # per-shard sizes are fixed by the partition
         n_graph = gop.mesh.shape[gop.axis]
@@ -341,9 +371,11 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
             v_true=min(v_true, s_local), v_pad=s_local, t_in=cur_t,
             c_in=c_in, c0=c0, c1=c1, c2=c2, tile_v=tile_v,
             apply_ln=(l > 0), training=training,
-            interpret=interpret, precision=precision))
+            interpret=interpret, precision=precision, backend=backend))
         cur_t = cfgs[-1].t2
         c_in = max(c2, 8)
+    if backend == "xla":
+        b_tile = b_eff  # whole-array: no kernel tiling, no batch padding
     if b_tile is None:
         b_tile = min(pick_b_tile(c, b_eff) for c in cfgs)
     cfgs = [dataclasses.replace(c, b_tile=b_tile) for c in cfgs]

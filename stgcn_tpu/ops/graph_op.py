@@ -45,13 +45,50 @@ def _unfold_from_vn(y: jax.Array, lead_c: tuple[int, ...]) -> jax.Array:
 
 
 class DenseGraphOp(struct.PyTreeNode):
-    """Dense GSO: ``y[..., u, c] = sum_v A[u, v] x[..., v, c]``."""
+    """Dense GSO: ``y[..., u, c] = sum_v A[u, v] x[..., v, c]``.
+
+    Also exposes the nv ``[N, V]`` surface (``apply_nv``/``cheb_pair_nv``
+    — one ``[N, V] @ [V, V]ᵀ`` MXU matmul each) so the vertex-fused path
+    (:func:`stgcn_tpu.nn.fused_sparse.fused_sparse_forward`) can pair its
+    channel-before-vertex ST-block stages with a dense aggregation at
+    road-graph sizes, where dense is the fastest format (module
+    docstring)."""
 
     matrix: jax.Array  # [V, V]
 
     @property
     def n_vertex(self) -> int:
         return self.matrix.shape[0]
+
+    @property
+    def v_pad(self) -> int:
+        """128-aligned vertex count for the nv surface (zero-padded)."""
+        return -(-self.n_vertex // 128) * 128
+
+    @property
+    def has_nv(self) -> bool:
+        return True
+
+    def _mat_pad(self, scale: float | jax.Array) -> jax.Array:
+        unit = isinstance(scale, float) and scale == 1.0
+        mat = self.matrix if unit else self.matrix * scale
+        p = self.v_pad - self.n_vertex
+        return jnp.pad(mat, ((0, p), (0, p))) if p else mat
+
+    def apply_nv(self, x_nv: jax.Array, *,
+                 scale: float | jax.Array = 1.0) -> jax.Array:
+        """``[N, v_pad] → [N, v_pad]``; padding lanes are zero in/out."""
+        mat = self._mat_pad(scale).astype(x_nv.dtype)
+        return jax.lax.dot_general(x_nv, mat, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32
+                                   ).astype(x_nv.dtype)
+
+    def cheb_pair_nv(self, x_nv: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """``(G·x, 2G(G·x) − x)`` on the nv operand (`model/layers.py:158-161`)."""
+        t1 = self.apply_nv(x_nv)
+        t2 = (2.0 * self.apply_nv(t1).astype(jnp.float32)
+              - x_nv.astype(jnp.float32)).astype(x_nv.dtype)
+        return t1, t2
 
     def __call__(self, x: jax.Array, *, scale: float | jax.Array = 1.0) -> jax.Array:
         mat = self.matrix if isinstance(scale, float) and scale == 1.0 else self.matrix * scale

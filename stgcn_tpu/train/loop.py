@@ -140,22 +140,27 @@ class Trainer:
             # (bf16 storage/MXU operands, f32 accumulation + LN statistics)
             fused_prec = ("bfloat16" if cfg.compute_dtype == "bfloat16"
                           else "default")
-            if hasattr(gop, "matrix"):
-                from stgcn_tpu.nn.fused import fused_forward
+            # every operator kind routes through the vertex-tiled fused
+            # blocks (LN/gates fused around the aggregation): sparse ops
+            # use the banded/ELL SpMM kernels, dense ops the nv [N,V]@[V,V]
+            # matmul (DenseGraphOp.apply_nv) — measured faster than both
+            # the unfused XLA path and the whole-block dense Mosaic kernel
+            # at PEMS-BAY B=512 (scripts/probe_configs2_vf.py; the dense
+            # whole-block kernel nn.fused.fused_forward stays available at
+            # the library surface).
+            from stgcn_tpu.nn.fused_sparse import fused_sparse_forward
 
-                def apply_fn(g, params, x, *, deterministic, rng=None):
-                    return fused_forward(params, x, g, model,
-                                         deterministic=deterministic,
-                                         rng=rng, precision=fused_prec)
-            else:
-                # sparse operators route through the vertex-tiled fused
-                # blocks (LN/gates fused around the banded/ELL SpMM)
-                from stgcn_tpu.nn.fused_sparse import fused_sparse_forward
-
-                def apply_fn(g, params, x, *, deterministic, rng=None):
-                    return fused_sparse_forward(
-                        params, x, g, model, deterministic=deterministic,
-                        rng=rng, precision=fused_prec)
+            def apply_fn(g, params, x, *, deterministic, rng=None):
+                if deterministic and hasattr(g, "matrix"):
+                    # dense-op eval: the unfused forward is faster (8.1 vs
+                    # 11.3 ms at PEMS-BAY B=512 — the fused win is in the
+                    # recompute backward, which eval never runs); at sparse
+                    # scale the fused forward wins outright, keep it there
+                    return model.apply({"params": params}, x, g,
+                                       deterministic=True)
+                return fused_sparse_forward(
+                    params, x, g, model, deterministic=deterministic,
+                    rng=rng, precision=fused_prec)
         else:
             def apply_fn(g, params, x, *, deterministic, rng=None):
                 rngs = None if rng is None else {"dropout": rng}

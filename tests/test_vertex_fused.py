@@ -230,3 +230,82 @@ def test_bf16_forward_close():
                                interpret=True)
     np.testing.assert_allclose(np.asarray(y_f, np.float32), y_ref,
                                atol=0.1, rtol=0.05)
+
+
+def test_dense_nv_op_matches_dense_call():
+    """DenseGraphOp's nv surface (`apply_nv`/`cheb_pair_nv`) equals the
+    einsum `__call__` / explicit Chebyshev recurrence."""
+    from stgcn_tpu.ops import dense_graph_op
+
+    adj = random_road_graph(V, k_neighbors=4, seed=2)
+    art = build_gso(adj, "sym_norm_lap", cheb=True)
+    gop = dense_graph_op(art)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((B, 5, V, 16)), jnp.float32)
+    # nv operand: [N, v_pad] from the cv layout view
+    x_cv = jnp.transpose(
+        jnp.pad(x, ((0, 0),) * 2 + ((0, gop.v_pad - V), (0, 0))),
+        (0, 1, 3, 2))
+    x_nv = x_cv.reshape(-1, gop.v_pad)
+    y_nv = gop.apply_nv(x_nv)
+    y_ref = gop(x)
+    y_back = jnp.transpose(y_nv.reshape(x_cv.shape), (0, 1, 3, 2))[:, :, :V]
+    np.testing.assert_allclose(y_back, y_ref, atol=1e-5, rtol=1e-5)
+
+    t1, t2 = gop.cheb_pair_nv(x_nv)
+    t1_ref, t2_ref = gop(x), 2.0 * gop(gop(x)) - x
+    for got, ref in ((t1, t1_ref), (t2, t2_ref)):
+        got4 = jnp.transpose(got.reshape(x_cv.shape), (0, 1, 3, 2))[:, :, :V]
+        np.testing.assert_allclose(got4, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_with_dense_op_parity():
+    """Vertex-fused blocks over the dense nv aggregation (the configs[2]
+    production routing) == the unfused model."""
+    from stgcn_tpu.ops import dense_graph_op
+
+    model, _, x, params = _setup()
+    adj = random_road_graph(V, k_neighbors=4, seed=0)
+    art = build_gso(adj, "sym_norm_lap", cheb=True)
+    dgop = dense_graph_op(art)
+    y_ref = model.apply({"params": params}, x, dgop, deterministic=True)
+    y_f = fused_sparse_forward(params, x, dgop, model, deterministic=True,
+                               interpret=True)
+    np.testing.assert_allclose(y_f, y_ref, atol=2e-4, rtol=2e-4)
+
+
+def test_xla_backend_parity_and_grads():
+    """use_pallas='xla' (whole-array cv-layout jnp blocks) matches the
+    unfused model in values and autodiff gradients — no Pallas involved,
+    so this runs natively on CPU."""
+    model, gop, x, params = _setup()
+    y_ref = model.apply({"params": params}, x, gop, deterministic=True)
+    y_x = fused_sparse_forward(params, x, gop, model, deterministic=True,
+                               use_pallas="xla")
+    np.testing.assert_allclose(y_x, y_ref, atol=2e-4, rtol=2e-4)
+
+    def loss_ref(p):
+        y = model.apply({"params": p}, x, gop, deterministic=True)
+        return jnp.sum(y * jnp.cos(y))
+
+    def loss_x(p):
+        y = fused_sparse_forward(p, x, gop, model, deterministic=True,
+                                 use_pallas="xla")
+        return jnp.sum(y * jnp.cos(y))
+
+    gr = jax.grad(loss_ref)(params)
+    gx = jax.grad(loss_x)(params)
+    fr, _ = jax.flatten_util.ravel_pytree(gr)
+    fx, _ = jax.flatten_util.ravel_pytree(gx)
+    rel = float(jnp.linalg.norm(fx - fr) / (jnp.linalg.norm(fr) + 1e-12))
+    assert rel < 1e-4, rel
+
+    # training mode runs with finite grads (jax.random dropout masks)
+    def loss_tr(p):
+        y = fused_sparse_forward(p, x, gop, model, deterministic=False,
+                                 rng=jax.random.PRNGKey(5),
+                                 use_pallas="xla")
+        return jnp.mean(y ** 2)
+
+    flat, _ = jax.flatten_util.ravel_pytree(jax.grad(loss_tr)(params))
+    assert np.all(np.isfinite(flat))
