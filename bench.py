@@ -311,6 +311,78 @@ def bench_train_100k(n_vertex=100_000, batch=8, reps=8):
     return res
 
 
+def bench_train_1m(n_vertex=1_000_000, batch=1, reps=3):
+    """End-to-end 1M-vertex single-chip training step (BASELINE
+    configs[4]'s single-chip half, VERDICT r3 #4): int8 banded slabs
+    (the only pack that fits 16 GB HBM at this scale) + nv layout +
+    vertex-fused blocks + remat, bf16 compute."""
+    import dataclasses
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from stgcn_tpu.data.synthetic import random_road_graph
+    from stgcn_tpu.graph import build_gso
+    from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
+    from stgcn_tpu.nn.fused_sparse import fused_sparse_forward
+    from stgcn_tpu.nn.model import STGCN
+    from stgcn_tpu.ops.graph_op import make_graph_op
+    from stgcn_tpu.utils.timing import device_sync
+
+    res = {"n_vertex": n_vertex, "batch": batch}
+    try:
+        t0 = time.time()
+        adj = random_road_graph(n_vertex, k_neighbors=8, seed=0)
+        art = build_gso(adj, "sym_norm_lap", cheb=True)
+        art = dataclasses.replace(
+            art, matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)))
+        res["nnz"] = int(art.matrix.nnz)
+        gop = make_graph_op(art, "banded_int8", banded_block_size=256,
+                            nv=True)
+        model = STGCN(n_his=12, dtype=jnp.bfloat16, remat=True)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((batch, 12, n_vertex, 1)),
+                        jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x[:1], gop,
+                            deterministic=True)["params"]
+        log(f"[1m] prep {time.time() - t0:.1f}s, nnz={res['nnz']}")
+        tx = optax.adamw(1e-3, weight_decay=1e-3)
+        key = jax.random.PRNGKey(7)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(p, s, g, xx, r):
+            def loss(pp):
+                pred = fused_sparse_forward(pp, xx, g, model,
+                                            deterministic=False, rng=r)
+                return jnp.mean(pred.astype(jnp.float32) ** 2)
+            l, grads = jax.value_and_grad(loss)(p)
+            up, s2 = tx.update(grads, s, p)
+            return optax.apply_updates(p, up), s2, l
+
+        p = jax.tree.map(jnp.copy, params)
+        s = tx.init(p)
+        t0 = time.time()
+        p, s, l = step(p, s, gop, x, key)
+        device_sync(l)
+        log(f"[1m] compile+first step {time.time() - t0:.1f}s "
+            f"(loss {float(l):.4f})")
+        t0 = time.time()
+        for _ in range(reps):
+            p, s, l = step(p, s, gop, x, key)
+        device_sync(l)
+        dt = (time.time() - t0) / reps
+        res["step_s"] = dt
+        res["samples_per_s"] = batch / dt
+        res["edges_per_s_2spmm_per_block"] = 4 * res["nnz"] * 10 / dt
+        log(f"[1m] {dt * 1e3:.1f} ms/step ({batch / dt:.2f} samples/s)")
+    except Exception as e:
+        log(f"[1m] failed: {type(e).__name__}: {e}")
+        res["error"] = f"{type(e).__name__}: {e}"[:300]
+    return res
+
+
 def bench_scaling(n_vertex=100_000, parts=(1, 2, 4, 8), reps=2,
                   timeout_s=1800, n_feat=128, quantize=False):
     """Edges/s scaling of the boundary-halo sharded SpMM on a virtual
@@ -399,6 +471,7 @@ def main():
     ap.add_argument("--skip-scaling", action="store_true")
     ap.add_argument("--skip-100k", action="store_true")
     ap.add_argument("--skip-1m", action="store_true")
+    ap.add_argument("--skip-train-1m", action="store_true")
     ap.add_argument("--spmm-vertices", type=int, default=100_000)
     args = ap.parse_args()
 
@@ -417,6 +490,9 @@ def main():
                                                fused=True)
     spmm = None if args.skip_spmm else bench_spmm(n_vertex=args.spmm_vertices)
     train_100k = None if args.skip_100k else bench_train_100k()
+    # configs[4] single-chip half: 1M-vertex training step on the real chip
+    train_1m = None if (args.skip_1m or args.skip_train_1m) \
+        else bench_train_1m()
     scaling = None if args.skip_scaling else bench_scaling()
     # BASELINE configs[4]: 1M vertices / ~10M edges, int8 packs, sharded on
     # the virtual mesh — structural metrics (halo/comm/interior/allclose);
@@ -466,11 +542,63 @@ def main():
         out["train_100k"] = {"device": device,
                              **{k: (round(v, 6) if isinstance(v, float) else v)
                                 for k, v in train_100k.items()}}
+    if train_1m:
+        out["train_1m"] = {"device": device,
+                           **{k: (round(v, 6) if isinstance(v, float) else v)
+                              for k, v in train_1m.items()}}
     if scaling:
         out["scaling"] = scaling
     if scaling_1m:
         out["scaling_1m"] = scaling_1m
-    print(json.dumps(out), flush=True)
+
+    # Full results to a file; stdout gets ONLY a compact (<1500 char)
+    # headline line so the driver's tail capture parses it
+    # (VERDICT r3 weak #1 / next #3).
+    results_path = os.path.join(ROOT, "bench_results.json")
+    with open(results_path, "w") as f:
+        json.dump(out, f, indent=1)
+    log(f"[main] full results -> {results_path}")
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "vs_baseline": out["vs_baseline"],
+        "device": device,
+        "train_step_ms": round(train["step_time_s"] * 1e3, 3),
+        "b512_bf16_step_ms": round(train_large["step_time_s"] * 1e3, 3),
+        "b512_bf16_fused_step_ms":
+            round(train_large_fused["step_time_s"] * 1e3, 3),
+    }
+    if spmm:
+        compact["spmm_ms"] = round(spmm["spmm_time_s"] * 1e3, 3)
+        compact["spmm_hbm_roofline_frac"] = round(
+            spmm["banded_hbm_roofline_frac"], 3)
+        compact["cheb_pair_ms"] = round(spmm["cheb_pair_time_s"] * 1e3, 3)
+    if train_100k:
+        for k in ("unfused_step_s", "fused_step_s"):
+            if k in train_100k:
+                compact["100k_" + k.replace("_step_s", "_ms")] = round(
+                    train_100k[k] * 1e3, 1)
+    if train_1m:
+        for k in ("step_s",):
+            if k in train_1m:
+                compact["1m_step_ms"] = round(train_1m[k] * 1e3, 1)
+        if "error" in train_1m:
+            compact["1m_error"] = train_1m["error"][:80]
+    if scaling and isinstance(scaling, dict) and "parts" in scaling:
+        eff = {p: round(v.get("projected_efficiency"), 3)
+               for p, v in scaling["parts"].items()
+               if isinstance(v, dict) and v.get("projected_efficiency")}
+        if eff:
+            compact["scaling_projected_eff"] = eff
+    compact["full_results"] = "bench_results.json"
+    line = json.dumps(compact)
+    if len(line) > 1500:  # hard guarantee for the driver's tail capture
+        line = json.dumps({k: compact[k] for k in
+                           ("metric", "value", "unit", "vs_baseline",
+                            "device", "full_results") if k in compact})
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

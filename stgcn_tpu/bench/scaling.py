@@ -37,6 +37,52 @@ import sys
 import time
 
 
+# Nominal v5p per-chip numbers for the roofline-style scaling projection
+# (docs/OVERLAP.md "Projected efficiency"): HBM bandwidth, and the
+# bandwidth a nearest-neighbor halo exchange sees per direction — one ICI
+# link along the partition axis intra-slice, the host NIC share for the
+# inter-host (DCN) hop. Derated by the fractions the kernels/collectives
+# actually achieve (HBM: our measured single-chip roofline fraction).
+V5P_HBM = 2765e9
+V5P_ICI_LINK = 90e9   # one-way per-link
+DCN_PER_HOST = 25e9   # ~200 Gbps NIC
+HBM_FRAC = 0.73       # measured banded-SpMM roofline fraction (BENCH r1-r3)
+LINK_FRAC = 0.8
+
+
+def project_efficiency(interior_bytes_per_shard: float,
+                       comm_bytes_per_shard: float) -> dict:
+    """Roofline-style scaling projection for a v5p shard (VERDICT r3 #6).
+
+    ``t_c`` = per-shard interior kernel time (HBM-bound: slab + x + y
+    bytes at the measured roofline fraction of v5p HBM). ``t_m`` = halo
+    exchange time (``comm_bytes_per_shard`` counts both directions; the
+    two directions ride distinct links concurrently, so the wire time is
+    half the total over one derated link). The overlap schedule
+    (docs/OVERLAP.md: interior aggregation is exchange-independent) hides
+    ``min(t_c, t_m)``:
+
+        efficiency_overlap = t_c / max(t_c, t_m)
+        efficiency_serial  = t_c / (t_c + t_m)      (no-overlap bound)
+
+    Emitted per P for both ICI (intra-slice) and DCN (host boundary)
+    transports; the BASELINE >=80% 2-host target compares against the
+    DCN overlap number.
+    """
+    t_c = interior_bytes_per_shard / (HBM_FRAC * V5P_HBM)
+    out = {}
+    for name, bw in (("ici", LINK_FRAC * V5P_ICI_LINK),
+                     ("dcn", LINK_FRAC * DCN_PER_HOST)):
+        t_m = (comm_bytes_per_shard / 2) / bw
+        out[f"t_comm_{name}_us"] = t_m * 1e6
+        out[f"projected_efficiency_{name}"] = t_c / max(t_c, t_m)
+        out[f"projected_efficiency_{name}_serial"] = t_c / (t_c + t_m)
+    out["t_interior_us"] = t_c * 1e6
+    # headline field: ICI overlap projection (intra-slice scaling)
+    out["projected_efficiency"] = out["projected_efficiency_ici"]
+    return out
+
+
 def measure_spmm_scaling(n_vertex: int = 100_000, n_feat: int = 128,
                          parts: tuple[int, ...] = (1, 2, 4, 8),
                          reps: int = 30, seed: int = 0, op: str = "banded",
@@ -81,6 +127,14 @@ def measure_spmm_scaling(n_vertex: int = 100_000, n_feat: int = 128,
                 2 * gop.halo * n_feat * jnp.dtype(jnp.float32).itemsize)
             extra["interior_frac"] = ((gop.interior[1] - gop.interior[0])
                                       / gop.slabs.shape[1])
+            # v5p projection from the pack's own byte counts: per-shard
+            # slab bytes + local x rows + local y rows (f32 here)
+            slab_bytes = (gop.slabs.size // gop.slabs.shape[0]
+                          ) * gop.slabs.dtype.itemsize
+            xy_rows = gop.n_vertex_pad // p
+            interior_bytes = slab_bytes + 2 * xy_rows * n_feat * 4
+            extra.update(project_efficiency(
+                interior_bytes, extra["comm_bytes_per_shard"]))
         else:
             gop, part = sharded_graph_op(art, mesh)
             s = gop.blocks.shape[1]

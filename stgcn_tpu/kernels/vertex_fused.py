@@ -97,6 +97,15 @@ class VertexBlockCfg:
     interpret: bool = False
     precision: str = "default"
     b_tile: int = 0      # batch tile (0 = whole batch per grid step)
+    # larger batch tile for FORWARD kernels only (0 = use b_tile). The
+    # backward's VMEM footprint pins b_tile low; forward-only grids can
+    # run ~4x fewer, bigger steps — the dominant cost at small V is
+    # per-grid-step overhead (measured ~12 us/step at configs[2]).
+    # Dropout-mask-generating heads (training & apply_ln) must keep
+    # b_tile: the in-kernel PRNG mask is seeded per grid step and the
+    # backward regenerates it, so fwd/bwd tilings must match there
+    # (_drop_mask; enforced in _grid_of).
+    b_tile_fwd: int = 0
     backend: str = "pallas"  # "pallas" (Mosaic kernels) | "xla" (whole-array
     #                          cv-layout jnp cores, autodiff backward)
 
@@ -127,7 +136,12 @@ class VertexBlockCfg:
 
 
 def _compiler_params():
-    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    # v5e has 128 MB of VMEM per core; STGCN_VMEM_LIMIT_MB widens the
+    # scoped budget for tiling experiments (watch for Mosaic spills)
+    import os
+
+    mb = int(os.environ.get("STGCN_VMEM_LIMIT_MB", "100"))
+    return pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
 
 
 def pick_b_tile(cfg: VertexBlockCfg, b: int,
@@ -150,6 +164,36 @@ def pick_b_tile(cfg: VertexBlockCfg, b: int,
                 return d          # divisor within 2x of cap: no padding
             break
     return 1 << (cap.bit_length() - 1)
+
+
+def pick_b_tile_fwd(cfg: VertexBlockCfg, b: int, b_tile: int,
+                    budget_bytes: int = 52 * 1024 * 1024) -> int:
+    """Larger batch tile for the forward-only kernels (see
+    ``VertexBlockCfg.b_tile_fwd``): the forward footprint is the block
+    I/O plus the head/tail intermediates in f32, far below the tail
+    backward's. Returns the largest multiple of ``b_tile`` that divides
+    the (padded) batch ``b`` and fits the budget — the multiple/divisor
+    constraints keep one padded batch valid for both tilings."""
+    nt = cfg.n_terms
+    # f32 intermediates of the LARGER of the two forward kernels (they
+    # never coexist in one grid step): head = x + s1 + xin1/a1 + xg;
+    # tail = xg+terms + r/h + s2 + xin2/a2. I/O blocks double-buffer but
+    # are small next to the gate-width intermediates.
+    head = cfg.t_in * cfg.c_in * 2 + cfg.t1 * (cfg.g1 + cfg.c0 * 2 + cfg.c1)
+    tail = (cfg.t1 * cfg.c1 * (2 + nt)
+            + cfg.t2 * (cfg.g2 + cfg.c2 * 2))
+    per_sample = 4 * cfg.tile_v * max(head, tail)
+    cap = max(1, min(b, budget_bytes // per_sample))
+    best = b_tile
+    k = 1
+    while True:
+        cand = b_tile * k
+        if cand > cap or cand > b:
+            break
+        if b % cand == 0:
+            best = cand
+        k += 1
+    return best
 
 
 # --------------------------------------------------------------------------
@@ -538,10 +582,18 @@ def _cspec(shape):
     return pl.BlockSpec(shape, lambda *_: (0,) * nd)
 
 
-def _grid_of(cfg, b):
+def _grid_of(cfg, b, fwd=False):
     """(batch tiles, vertex tiles) — batch OUTER so that stat blocks
-    indexed by batch tile stay resident across the inner vertex sweep."""
+    indexed by batch tile stay resident across the inner vertex sweep.
+
+    ``fwd=True`` (forward-only pallas_call) may use the larger
+    ``cfg.b_tile_fwd`` — unless this kernel generates a dropout mask
+    (training head with apply_ln), whose per-grid-step PRNG seeding
+    must tile identically in the backward regeneration."""
     bt = cfg.b_tile or b
+    if fwd and cfg.b_tile_fwd:
+        if not (cfg.training and cfg.droprate > 0.0 and cfg.apply_ln):
+            bt = cfg.b_tile_fwd
     if b % bt:
         raise ValueError(f"batch {b} not a multiple of b_tile {bt}")
     return bt, (b // bt, cfg.v_pad // cfg.tile_v)
@@ -549,7 +601,7 @@ def _grid_of(cfg, b):
 
 def _head_pallas(cfg, seed, x, ln, w):
     b = x.shape[0]
-    bt, grid = _grid_of(cfg, b)
+    bt, grid = _grid_of(cfg, b, fwd=True)
     c1k, c1b, gaw, gab = w
     in_specs = [pl.BlockSpec((bt, cfg.t_in, cfg.c_in, cfg.tile_v),
                              lambda j, i, *_: (j, 0, 0, i))]
@@ -778,7 +830,7 @@ def _make_tail_bwd_kernel(cfg, b):
 
 def _tail_pallas(cfg, vtrue, xg, terms, w):
     b = xg.shape[0]
-    bt, grid = _grid_of(cfg, b)
+    bt, grid = _grid_of(cfg, b, fwd=True)
     gcw, gcb, c2k, c2b = w
     vspec = pl.BlockSpec((bt, cfg.t1, cfg.c1, cfg.tile_v),
                          lambda j, i, *_: (j, 0, 0, i))

@@ -27,19 +27,27 @@ from stgcn_tpu.nn.model import STGCN
 
 def _output_block_apply(params: dict, x: jax.Array, v_true: int, *,
                         act_func: str, droprate: float, deterministic: bool,
-                        rng: jax.Array | None, prec=None) -> jax.Array:
+                        rng: jax.Array | None, prec=None,
+                        dtype=None) -> jax.Array:
     """The 'TNFF' head in plain jnp (`model/layers.py:260-284`):
     time-collapsing temporal gate → LN([V, C]) → fc1 → relu → dropout → fc2.
-    ``x``: [B, Ko, V, c]."""
+    ``x``: [B, Ko, V, c]. ``dtype``: compute dtype for the conv/gate and
+    fc matmuls (LN statistics stay f32) — mirrors the flax OutputBlock's
+    mixed-precision casts (`nn/layers.py:287-303`); leaving it None runs
+    the whole head in the params' dtype (f32), which at B=512 costs
+    ~1.8 ms of [B, V, 256] f32 traffic the unfused path does not pay."""
+    cdt = dtype or jnp.float32
     ck = params["tmp_conv1"]["causal_conv"]["kernel"]   # [ko, 1, c, g]
     cb = params["tmp_conv1"]["causal_conv"]["bias"]
     ko, _, c_in, g = ck.shape
     gated = act_func in ("glu", "gtu")
     c0 = g // 2 if gated else g
 
+    x = x.astype(cdt)
+    ck = ck.astype(cdt)
     s = sum(jnp.einsum("bvc,cd->bvd", x[:, k], ck[k, 0], precision=prec)
             for k in range(ko))
-    s = s + cb
+    s = (s + cb).astype(cdt)
     xin = x[:, ko - 1]
     if c_in < c0:
         xin = jnp.pad(xin, ((0, 0), (0, 0), (0, c0 - c_in)))
@@ -52,20 +60,22 @@ def _output_block_apply(params: dict, x: jax.Array, v_true: int, *,
     else:
         a = jax.nn.silu(s + xin)
 
-    # LayerNorm over (V, C) jointly, eps=1e-12 (`model/layers.py:272`)
-    mu = jnp.mean(a, axis=(-2, -1), keepdims=True)
-    var = jnp.mean((a - mu) ** 2, axis=(-2, -1), keepdims=True)
-    a = (a - mu) * jax.lax.rsqrt(var + 1e-12)
-    a = a * params["ln"]["scale"] + params["ln"]["bias"]
+    # LayerNorm over (V, C) jointly, eps=1e-12, f32 statistics
+    # (`model/layers.py:272`; flax LN dtype=f32 in nn/layers.py:289-291)
+    a32 = a.astype(jnp.float32)
+    mu = jnp.mean(a32, axis=(-2, -1), keepdims=True)
+    var = jnp.mean((a32 - mu) ** 2, axis=(-2, -1), keepdims=True)
+    a32 = (a32 - mu) * jax.lax.rsqrt(var + 1e-12)
+    a = (a32 * params["ln"]["scale"] + params["ln"]["bias"]).astype(cdt)
 
-    a = jnp.einsum("bvc,cd->bvd", a, params["fc1"]["kernel"],
-                   precision=prec) + params["fc1"]["bias"]
+    a = jnp.einsum("bvc,cd->bvd", a, params["fc1"]["kernel"].astype(cdt),
+                   precision=prec) + params["fc1"]["bias"].astype(cdt)
     a = jax.nn.relu(a)
     if not deterministic and droprate > 0.0 and rng is not None:
         keep = jax.random.bernoulli(rng, 1.0 - droprate, a.shape)
-        a = jnp.where(keep, a / (1.0 - droprate), 0.0)
-    a = jnp.einsum("bvc,cd->bvd", a, params["fc2"]["kernel"],
-                   precision=prec) + params["fc2"]["bias"]
+        a = jnp.where(keep, a / (1.0 - droprate), jnp.zeros((), cdt))
+    a = jnp.einsum("bvc,cd->bvd", a, params["fc2"]["kernel"].astype(cdt),
+                   precision=prec) + params["fc2"]["bias"].astype(cdt)
     return a[:, None, :, :]  # [B, 1, V, end]
 
 
@@ -105,6 +115,8 @@ def fused_forward(params: dict, x: jax.Array, gop: Any, model: STGCN, *,
     if ko > 1:
         prec = (jax.lax.Precision.HIGHEST if precision == "highest" else None)
         y = _output_block_apply(params["output"], x, v,
+                                dtype=(jnp.bfloat16
+                                       if precision == "bfloat16" else None),
                                 act_func=model.act_func,
                                 droprate=model.droprate,
                                 deterministic=deterministic, rng=out_rng,

@@ -53,6 +53,7 @@ from stgcn_tpu.kernels.vertex_fused import (
     VertexBlockCfg,
     head_fused,
     pick_b_tile,
+    pick_b_tile_fwd,
     tail_fused,
 )
 from stgcn_tpu.nn.fused import _output_block_apply
@@ -91,6 +92,13 @@ def _graph_terms(cfg: VertexBlockCfg, gop: Any, xg: jax.Array):
     if cfg.ks == 1 and cfg.graph_conv_type == "cheb_graph_conv":
         return xg, xg  # contraction uses T_0 only
     gv = getattr(gop, "v_pad", None) or getattr(gop, "n_vertex_pad", None)
+    if hasattr(gop, "cheb_pair_cv") and hasattr(gop, "apply_cv"):
+        # rank-preserving last-axis contraction (dense ops): no [N, V]
+        # reshape, so XLA cannot interpose a layout copy on the operand
+        if cfg.graph_conv_type == "graph_conv" or cfg.ks == 2:
+            t = gop.apply_cv(xg)
+            return t, t
+        return gop.cheb_pair_cv(xg)
     if getattr(gop, "has_nv", False):
         # zero-transpose path: the cv layout reshape-views to [N, V]
         x_nv = _nv(xg)
@@ -286,15 +294,27 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
                          b_tile: int | None = None,
                          remat: bool | None = None,
                          precision: str = "auto",
-                         use_pallas: bool | None = None,
+                         use_pallas: bool | str | None = None,
                          interpret: bool = False) -> jax.Array:
     """Forward pass with vertex-fused ST-block kernels.
 
     ``x``: ``[B, T, V, C]`` (the model's public layout). ``gop`` must
-    expose ``v_pad`` (banded) or ``n_vertex_pad`` (BCSR) — a 128-aligned
-    padded vertex count; dense operators should use
-    :func:`stgcn_tpu.nn.fused.fused_forward` instead. Supports the CLI
-    surface: ``Ks ∈ {1, 2, 3}`` (cheb) and 1st-order graph_conv.
+    expose ``v_pad`` (banded) or ``n_vertex_pad`` (BCSR/dense) — a
+    128-aligned padded vertex count. :class:`~stgcn_tpu.ops.DenseGraphOp`
+    qualifies via its nv surface (``apply_nv``/``cheb_pair_nv``), so
+    dense road-scale operators route through here in production;
+    :func:`stgcn_tpu.nn.fused.fused_forward` remains as an alternative
+    whole-block dense kernel. Supports the CLI surface: ``Ks ∈ {1, 2, 3}``
+    (cheb) and 1st-order graph_conv; for cheb ``Ks > 3`` the call
+    transparently falls back to the unfused model apply (same math, XLA
+    fusion) rather than raising.
+
+    ``use_pallas``: ``True``/``False`` pick the Mosaic kernels / the
+    unfused oracle; the string ``"xla"`` selects the whole-array
+    cv-layout jnp blocks (channels-before-vertex layout with XLA fusion
+    — the production default at small V). On the ``"xla"`` backend there
+    is no kernel batch tiling, so a caller-supplied ``b_tile`` is
+    rejected rather than silently ignored.
     """
     blocks, ko = model._plan()
     n_st = len(blocks) - 3
@@ -302,10 +322,18 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
     b_in = x.shape[0]
     gv = getattr(gop, "v_pad", None) or getattr(gop, "n_vertex_pad", None)
     if gv is None:
-        raise ValueError("fused_sparse_forward needs a padded sparse graph "
-                         "operator (banded/bcsr); use nn.fused for dense")
+        raise ValueError(
+            "fused_sparse_forward needs a graph operator exposing a padded "
+            "vertex count (banded/bcsr v_pad/n_vertex_pad, or DenseGraphOp's "
+            "nv surface); nn.fused.fused_forward is the whole-block dense "
+            "alternative")
     if model.graph_conv_type == "cheb_graph_conv" and model.ks > 3:
-        raise NotImplementedError("vertex-fused path supports Ks <= 3")
+        # the vertex-tiled kernels carry at most the ks=3 recurrence's two
+        # graph terms; higher orders run the unfused model (same math,
+        # XLA fusion + autodiff) instead of raising (VERDICT r3 #8)
+        rngs = None if (deterministic or rng is None) else {"dropout": rng}
+        return model.apply({"params": params}, x, gop,
+                           deterministic=deterministic, rngs=rngs)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" or bool(interpret)
     backend = "pallas"
@@ -354,9 +382,20 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
         out_rng = drop_rng = None
 
     x = x.astype(cdt)
-    if x.shape[2] != v_pad:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, v_pad - x.shape[2]), (0, 0)))
-    x = jnp.transpose(x, (0, 1, 3, 2))  # → cv layout [B, T, C, V]
+    if x.shape[3] == 1:
+        # C == 1: the cv transpose is a pure reshape — doing it as a
+        # transpose materializes a pathological T(2,128)-layout copy
+        # (measured 0.6 ms at B=512) that a reshape avoids; pad vertex
+        # lanes afterwards in the last axis
+        x = x.reshape(x.shape[0], x.shape[1], 1, x.shape[2])
+        if x.shape[3] != v_pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0),
+                            (0, v_pad - x.shape[3])))
+    else:
+        if x.shape[2] != v_pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, v_pad - x.shape[2]),
+                            (0, 0)))
+        x = jnp.transpose(x, (0, 1, 3, 2))  # → cv layout [B, T, C, V]
 
     # prepass: static per-block configs, then one shared batch tile
     # (Mosaic can't lower the backward's N=1 matmul → c_in floors at 8)
@@ -375,15 +414,25 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
         cur_t = cfgs[-1].t2
         c_in = max(c2, 8)
     if backend == "xla":
+        if b_tile is not None:
+            raise ValueError("b_tile has no effect on the 'xla' backend "
+                             "(whole-array blocks, no kernel batch tiling); "
+                             "omit it or use the Pallas backend")
         b_tile = b_eff  # whole-array: no kernel tiling, no batch padding
     if b_tile is None:
         b_tile = min(pick_b_tile(c, b_eff) for c in cfgs)
-    cfgs = [dataclasses.replace(c, b_tile=b_tile) for c in cfgs]
     b = b_in
     if not sharded:  # sharded blocks pad their local batch internally
         b = -(-b_in // b_tile) * b_tile
         if b != b_in:
             x = jnp.pad(x, ((0, b - b_in), (0, 0), (0, 0), (0, 0)))
+    # forward-only kernels run with a larger batch tile (per-grid-step
+    # overhead dominates at small V); the sharded path pads its local
+    # batch to b_tile only, so the fwd tile stays off there
+    b_tile_fwd = 0 if (sharded or backend == "xla") else \
+        min(pick_b_tile_fwd(c, b, b_tile) for c in cfgs)
+    cfgs = [dataclasses.replace(c, b_tile=b_tile, b_tile_fwd=b_tile_fwd)
+            for c in cfgs]
 
     blk_fn = _st_block_sharded if sharded else _st_block
     if remat:
@@ -448,7 +497,8 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
                                   act_func=model.act_func,
                                   droprate=model.droprate,
                                   deterministic=deterministic, rng=out_rng,
-                                  prec=prec)
+                                  prec=prec,
+                                  dtype=cdt if cdt != jnp.float32 else None)
     else:  # ko == 0 — inline fc head (`models.py:38-42,48-51`)
         a = jnp.einsum("btvc,cd->btvd", y, params["fc1"]["kernel"]) \
             + params["fc1"]["bias"]

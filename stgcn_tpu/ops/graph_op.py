@@ -77,8 +77,18 @@ class DenseGraphOp(struct.PyTreeNode):
 
     def apply_nv(self, x_nv: jax.Array, *,
                  scale: float | jax.Array = 1.0) -> jax.Array:
-        """``[N, v_pad] → [N, v_pad]``; padding lanes are zero in/out."""
+        """``[N, W] → [N, W]`` for any ``W >= n_vertex``; vertex lanes past
+        ``n_vertex`` are zero in/out (a caller whose kernel tile pad
+        exceeds :attr:`v_pad` gets its width back unchanged, mirroring
+        ``BandedGraphOp.apply_nv``)."""
+        w = x_nv.shape[1]
+        if w < self.n_vertex:
+            raise ValueError(f"nv operand has {w} vertex lanes < n_vertex "
+                             f"{self.n_vertex}")
         mat = self._mat_pad(scale).astype(x_nv.dtype)
+        if w != self.v_pad:  # kernel tile pad != op pad: match the operand
+            mat = jnp.pad(mat, ((0, w - self.v_pad),) * 2) \
+                if w > self.v_pad else mat[:w, :w]
         return jax.lax.dot_general(x_nv, mat, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32
                                    ).astype(x_nv.dtype)
@@ -88,6 +98,37 @@ class DenseGraphOp(struct.PyTreeNode):
         t1 = self.apply_nv(x_nv)
         t2 = (2.0 * self.apply_nv(t1).astype(jnp.float32)
               - x_nv.astype(jnp.float32)).astype(x_nv.dtype)
+        return t1, t2
+
+    # ------------------------------------------------ cv (last-axis) surface
+    # Same math as apply_nv on the UN-reshaped [..., V] cv tensor: the
+    # [N, V] reshape around the nv dot is a logical view, but XLA may
+    # assign the dot operand a different physical layout and materialize
+    # a full copy each way (measured ~0.6 ms per crossing at PEMS-BAY
+    # B=512). A rank-preserving dot_general needs no reshape at all.
+
+    def apply_cv(self, x_cv: jax.Array, *,
+                 scale: float | jax.Array = 1.0) -> jax.Array:
+        """``[..., W] → [..., W]`` contraction over the last (vertex)
+        axis, ``W >= n_vertex``; lanes past ``n_vertex`` zero in/out."""
+        w = x_cv.shape[-1]
+        if w < self.n_vertex:
+            raise ValueError(f"cv operand has {w} vertex lanes < n_vertex "
+                             f"{self.n_vertex}")
+        mat = self._mat_pad(scale).astype(x_cv.dtype)
+        if w != self.v_pad:
+            mat = jnp.pad(mat, ((0, w - self.v_pad),) * 2) \
+                if w > self.v_pad else mat[:w, :w]
+        nd = x_cv.ndim
+        return jax.lax.dot_general(x_cv, mat, (((nd - 1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32
+                                   ).astype(x_cv.dtype)
+
+    def cheb_pair_cv(self, x_cv: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """``(G·x, 2G(G·x) − x)`` on the last-axis (cv) operand."""
+        t1 = self.apply_cv(x_cv)
+        t2 = (2.0 * self.apply_cv(t1).astype(jnp.float32)
+              - x_cv.astype(jnp.float32)).astype(x_cv.dtype)
         return t1, t2
 
     def __call__(self, x: jax.Array, *, scale: float | jax.Array = 1.0) -> jax.Array:

@@ -309,3 +309,46 @@ def test_xla_backend_parity_and_grads():
 
     flat, _ = jax.flatten_util.ravel_pytree(jax.grad(loss_tr)(params))
     assert np.all(np.isfinite(flat))
+
+
+def test_ks4_transparent_fallback():
+    """cheb Ks=4 exceeds the vertex-fused kernels' two-term contraction;
+    fused_sparse_forward must transparently run the unfused model (same
+    result), not raise (VERDICT r3 #8)."""
+    model, gop, x, params = _setup(ks=4)
+    y_ref = model.apply({"params": params}, x, gop, deterministic=True)
+    y_f = fused_sparse_forward(params, x, gop, model, deterministic=True,
+                               interpret=True)
+    np.testing.assert_allclose(y_f, y_ref, atol=2e-4, rtol=2e-4)
+
+
+def test_xla_backend_rejects_b_tile():
+    model, gop, x, params = _setup()
+    with pytest.raises(ValueError, match="b_tile"):
+        fused_sparse_forward(params, x, gop, model, deterministic=True,
+                             use_pallas="xla", b_tile=2)
+
+
+def test_dense_nv_wider_tile_pad():
+    """A kernel tile pad wider than DenseGraphOp.v_pad (tile_v > 128) must
+    round-trip through apply_nv/cheb_pair_nv with zero lanes intact
+    (ADVICE r3 item 2)."""
+    from stgcn_tpu.ops import dense_graph_op
+
+    adj = random_road_graph(V, k_neighbors=4, seed=2)
+    art = build_gso(adj, "sym_norm_lap", cheb=True)
+    gop = dense_graph_op(art)
+    w = gop.v_pad + 128  # wider than the op's own pad
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((B, 5, V, 16)), jnp.float32)
+    x_cv = jnp.transpose(
+        jnp.pad(x, ((0, 0),) * 2 + ((0, w - V), (0, 0))), (0, 1, 3, 2))
+    x_nv = x_cv.reshape(-1, w)
+    y_nv = gop.apply_nv(x_nv)
+    assert y_nv.shape == x_nv.shape
+    y_back = jnp.transpose(y_nv.reshape(x_cv.shape), (0, 1, 3, 2))[:, :, :V]
+    np.testing.assert_allclose(y_back, gop(x), atol=1e-5, rtol=1e-5)
+    assert float(jnp.abs(y_nv[:, gop.v_pad:]).max()) == 0.0
+
+    with pytest.raises(ValueError, match="vertex lanes"):
+        gop.apply_nv(x_nv[:, :V - 7])
