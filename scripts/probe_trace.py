@@ -89,25 +89,44 @@ def main():
     from stgcn_tpu.nn.model import STGCN
     from stgcn_tpu.ops import dense_graph_op
 
-    adj, v = load_adj("pems-bay", os.path.join(ROOT, "data"))
-    art = build_gso(adj, "sym_norm_lap", cheb=True)
-    art = dataclasses.replace(
-        art, matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)))
-    gop = dense_graph_op(art, dtype=jnp.bfloat16)
-    model = STGCN(n_his=12, dtype=jnp.bfloat16)
+    if args.what.endswith("-100k"):
+        from stgcn_tpu.data.synthetic import random_road_graph
+        from stgcn_tpu.ops.graph_op import make_graph_op
+
+        v = 100_000
+        adj = random_road_graph(v, k_neighbors=8, seed=0)
+        art = build_gso(adj, "sym_norm_lap", cheb=True)
+        art = dataclasses.replace(
+            art, matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)))
+        gop = make_graph_op(art, "banded", banded_block_size=256,
+                            dtype=jnp.bfloat16, nv=True)
+        model = STGCN(n_his=12, dtype=jnp.bfloat16, remat=True)
+        b = 8
+        args.what = args.what[: -len("-100k")]
+        args.reps = min(args.reps, 4)
+    else:
+        adj, v = load_adj("pems-bay", os.path.join(ROOT, "data"))
+        art = build_gso(adj, "sym_norm_lap", cheb=True)
+        art = dataclasses.replace(
+            art, matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)))
+        gop = dense_graph_op(art, dtype=jnp.bfloat16)
+        model = STGCN(n_his=12, dtype=jnp.bfloat16)
+        b = 512
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((512, 12, v, 1)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, 12, v, 1)), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x[:1], gop,
                         deterministic=True)["params"]
 
+    # the graph operator is always a jit ARGUMENT (pytree): captured slab
+    # packs as closure constants blow the remote-compile payload limit
     if args.what == "vf":
-        fn = lambda p, xx: fused_sparse_forward(p, xx, gop, model,
-                                                deterministic=True)
-        fargs = (params, x)
+        fn = lambda g, p, xx: fused_sparse_forward(p, xx, g, model,
+                                                   deterministic=True)
+        fargs = (gop, params, x)
     elif args.what == "unfused":
-        fn = lambda p, xx: model.apply({"params": p}, xx, gop,
-                                       deterministic=True)
-        fargs = (params, x)
+        fn = lambda g, p, xx: model.apply({"params": p}, xx, g,
+                                          deterministic=True)
+        fargs = (gop, params, x)
     elif args.what in ("step-vf", "step-unfused"):
         import optax
 
@@ -116,13 +135,13 @@ def main():
         s0 = tx.init(params)
         vf = args.what == "step-vf"
 
-        def fn(p, s, xx, r):
+        def fn(g, p, s, xx, r):
             def loss(pp):
                 if vf:
-                    pred = fused_sparse_forward(pp, xx, gop, model,
+                    pred = fused_sparse_forward(pp, xx, g, model,
                                                 deterministic=False, rng=r)
                 else:
-                    pred = model.apply({"params": pp}, xx, gop,
+                    pred = model.apply({"params": pp}, xx, g,
                                        deterministic=False,
                                        rngs={"dropout": r})
                 return jnp.mean(pred.astype(jnp.float32) ** 2)
@@ -131,7 +150,7 @@ def main():
             up, s2 = tx.update(grads, s, p)
             return optax.apply_updates(p, up), s2, l
 
-        fargs = (params, s0, x, key)
+        fargs = (gop, params, s0, x, key)
     else:
         raise SystemExit(f"unknown --what {args.what}")
     run_traced(fn, fargs, args.dir, reps=args.reps)

@@ -101,6 +101,12 @@ def _make_stream_nv_kernel(bs: int, w: int, m: int, nbr: int, nxb: int,
                 xdma(j).start()
             if chain:
                 gdma(0, 0).start()
+            if two_stage:
+                # stage-2 windows can cover T1 blocks past the last block
+                # row (window clamp is v_pad, not nbr*bs); stage 1 never
+                # writes those ring slots and uninitialized VMEM can hold
+                # NaN bit patterns (NaN x 0 slab poisons the dot)
+                t1_ring[...] = jnp.zeros_like(t1_ring)
 
         @pl.when((i + 1 < nbr) & (i + nw < nxb))
         def _issue_next():
@@ -203,6 +209,9 @@ def _stream_nv_call(slabs_nv, lo, x_nv, g_nv, scales, precision, mode):
     """Driver: pads, sizes rings, dispatches the kernel; falls back to the
     jnp oracle off-TPU and to per-application oracles when the rings
     would exceed VMEM."""
+    from stgcn_tpu.kernels.banded_spmm import kernel_dot_precision
+
+    precision = kernel_dot_precision(x_nv.dtype, precision)
     nbr, w, bs = slabs_nv.shape
     n, v_pad = x_nv.shape
     nw = w // bs

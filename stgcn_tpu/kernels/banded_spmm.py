@@ -30,6 +30,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def kernel_dot_precision(dtype, precision=None):
+    """Effective matmul precision for an in-kernel dot on ``dtype``
+    operands. Sub-f32 operands pin ``Precision.DEFAULT`` explicitly:
+    the MXU multiplies bf16 (and int8-cast-to-bf16) operands exactly
+    into the f32 accumulator regardless, and the Mosaic compiler rejects
+    an fp32 contract precision on bf16 operands ("Bad lhs type") — which
+    an ambient ``jax_default_matmul_precision='highest'`` (the test
+    suite's parity setting) would otherwise request."""
+    if jnp.dtype(dtype).itemsize < 4:
+        return jax.lax.Precision.DEFAULT
+    return precision
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -246,6 +259,7 @@ def _banded_pallas_resident(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
     ~300k vertices at n=128 bf16 the dense operand fits on-chip. Each x row
     is then read from HBM exactly once (the band windows of adjacent row
     blocks overlap ~93%, so the streaming variant refetches x ~14×)."""
+    precision = kernel_dot_precision(x.dtype, precision)
     nbr, bs, w = slabs.shape
     n = x.shape[1]
     grid = (nbr, n // tile_n)
@@ -288,6 +302,7 @@ _RESIDENT_X_BYTES = 96 * 1024 * 1024
 def _banded_pallas(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
                    tile_n: int, precision=None,
                    scales: jax.Array | None = None) -> jax.Array:
+    precision = kernel_dot_precision(x.dtype, precision)
     nbr, bs, w = slabs.shape
     n = x.shape[1]
     n_tiles = n // tile_n
@@ -453,6 +468,17 @@ def _make_cheb_pair_kernel(bs: int, w: int, tile_n: int, nbr: int, delay: int,
     def kernel(lo_ref, slab_ref, x_ref, t1_ref, t2_ref, t1_buf, ring):
         i = pl.program_id(0)
 
+        @pl.when(i == 0)
+        def _zero_tail():
+            # stage 2 windows may cover T1 rows past the last block row
+            # (window clamp is v_pad, not nbr*bs); those rows are never
+            # written by stage 1 and uninitialized VMEM can hold NaNs
+            # (NaN x 0 slab poisons the dot) — zero them once
+            nrows = t1_buf.shape[0] - nbr * bs
+            if nrows > 0:
+                t1_buf[pl.ds(nbr * bs, nrows), :] = jnp.zeros(
+                    (nrows, t1_buf.shape[1]), t1_buf.dtype)
+
         @pl.when(i < nbr)
         def _stage1():
             start = pl.multiple_of(lo_ref[i], 128)
@@ -501,6 +527,7 @@ def banded_cheb_pair(slabs: jax.Array, lo: jax.Array, x: jax.Array, *,
     here when ``lo`` is concrete; callers inside ``jit`` must verify at
     pack time). CPU / non-viable fallback: two applications.
     """
+    precision = kernel_dot_precision(x.dtype, precision)
     nbr, bs, w = slabs.shape
     v_pad, n = x.shape
     x_bytes = x.size * x.dtype.itemsize
@@ -638,6 +665,12 @@ def _make_cheb_pair_stream_kernel(bs: int, w: int, n: int, nbr: int, nxb: int,
                 xdma(j).start()
             if chain:
                 gdma(0, 0).start()
+            # stage 2 windows can cover T1 blocks past the last block row
+            # (the pack clamps windows to v_pad, not nbr*bs); stage 1
+            # never writes those ring slots, and uninitialized VMEM can
+            # hold NaN bit patterns — NaN x 0 (the slab is zero there)
+            # poisons the dot. Zero the ring once.
+            t1_ring[...] = jnp.zeros_like(t1_ring)
 
         # stage 1 of step i+1 needs blocks < (lo[i+1]+w)/bs <= i+1+nw;
         # issue the one new block now (everything older is already in ring)
@@ -721,6 +754,7 @@ def _pair_stream_fallback(slabs, lo, x, g, scales, precision, bs):
     """Two/three tiled single applications — the stream kernel's math when
     its rings would not fit VMEM (wide N × f32, e.g. reference-scale
     graphs at batch 32). ``banded_spmm`` tiles N internally."""
+    precision = kernel_dot_precision(x.dtype, precision)
     v_pad = x.shape[0]
 
     def apply(v):
@@ -740,6 +774,7 @@ def _pair_stream_fallback(slabs, lo, x, g, scales, precision, bs):
 def _pair_stream_call(slabs, lo, x, g, scales, precision):
     """Shared driver for :func:`banded_cheb_pair_stream` (``g=None``) and
     :func:`banded_chain_stream` (``g`` set)."""
+    precision = kernel_dot_precision(x.dtype, precision)
     nbr, bs, w = slabs.shape
     v_pad, n = x.shape
     nw = w // bs

@@ -68,8 +68,13 @@ _BF16 = jnp.bfloat16
 # 'bfloat16' = bf16 storage/operands with f32 matmul accumulation and f32
 # LayerNorm statistics (the perf mode); dot precision None lets the MXU run
 # native bf16.
+# "bfloat16" pins DEFAULT explicitly (not None): bf16 MXU operands are
+# multiplied exactly into f32 regardless, and an ambient
+# jax_default_matmul_precision='highest' (the test suite's parity
+# setting) would otherwise request an fp32 contract precision that the
+# Mosaic compiler rejects on bf16 operands ("Bad lhs type").
 _PRECISIONS = {"default": None, "highest": lax.Precision.HIGHEST,
-               "bfloat16": None}
+               "bfloat16": lax.Precision.DEFAULT}
 
 
 def _round_up(x: int, m: int) -> int:

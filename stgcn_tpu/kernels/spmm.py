@@ -29,6 +29,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from stgcn_tpu.kernels.banded_spmm import kernel_dot_precision
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -125,6 +127,7 @@ def _spmm_pallas_resident(data: jax.Array, cols: jax.Array, counts: jax.Array,
     only HBM stream is the A tiles — the same resident-x trick that took
     the banded kernel from 35% to 71% of the bandwidth roofline. Used when
     x fits the VMEM budget; the streaming variant covers the rest."""
+    precision = kernel_dot_precision(x.dtype, precision)
     nbr, max_b = cols.shape
     bs = block_size
     n = x.shape[1]
@@ -163,6 +166,7 @@ _ELL_RESIDENT_X_BYTES = 80 * 1024 * 1024
 def _spmm_pallas(data: jax.Array, cols: jax.Array, counts: jax.Array,
                  x: jax.Array, *, block_size: int, tile_n: int,
                  precision=None, n_buf: int = 4) -> jax.Array:
+    precision = kernel_dot_precision(x.dtype, precision)
     nbr, max_b = cols.shape
     bs = block_size
     n = x.shape[1]

@@ -79,6 +79,79 @@ def _output_block_apply(params: dict, x: jax.Array, v_true: int, *,
     return a[:, None, :, :]  # [B, 1, V, end]
 
 
+def _cv_dot(x_bcv: jax.Array, w_cd: jax.Array, prec=None) -> jax.Array:
+    """``[B, C, V] × [C, D] → [B, D, V]`` as an explicit batched
+    ``[D, C] @ [C, V]`` dot — contraction in LHS lanes / RHS sublanes,
+    the MXU's native orientation. A plain ``einsum('bcv,cd->bdv')``
+    lets XLA pick a transposing lowering that costs ~2.4 ms per dot at
+    V=100k; this form measures at the matmul floor. The broadcast
+    weight is [B, D, C] — bytes are negligible at head widths."""
+    b = x_bcv.shape[0]
+    wb = jnp.broadcast_to(w_cd.T[None], (b,) + w_cd.T.shape)
+    return jax.lax.dot_general(wb, x_bcv, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32,
+                               precision=prec).astype(x_bcv.dtype)
+
+
+def _output_block_apply_cv(params: dict, x_cv: jax.Array, v_true: int, *,
+                           act_func: str, droprate: float,
+                           deterministic: bool, rng: jax.Array | None,
+                           prec=None, dtype=None) -> jax.Array:
+    """cv-layout twin of :func:`_output_block_apply`: consumes
+    ``[B, Ko, C, V_pad]`` (channel-before-vertex) and returns
+    ``[B, 1, V_true, end]`` — so the fused sparse path never transposes
+    its full-size activations back to vertex-major (at 100k vertices the
+    ``[B, T, V, C]`` exit transpose plus the vc head measured ~20 ms of
+    the train step; with ``end == 1`` the cv→vc exit is a pure reshape).
+    Same math as the vc head (`model/layers.py:260-284`), LN statistics
+    in f32 over the (C, V) pair."""
+    cdt = dtype or jnp.float32
+    ck = params["tmp_conv1"]["causal_conv"]["kernel"]   # [ko, 1, c, g]
+    cb = params["tmp_conv1"]["causal_conv"]["bias"]
+    ko, _, c_in, g = ck.shape
+    gated = act_func in ("glu", "gtu")
+    c0 = g // 2 if gated else g
+
+    x_cv = x_cv[..., :v_true].astype(cdt)              # [B, Ko, C, V]
+    ck = ck.astype(cdt)
+    # temporal conv: contraction over the channel sublanes per tap
+    s = sum(_cv_dot(x_cv[:, k], ck[k, 0], prec).astype(jnp.float32)
+            for k in range(ko))
+    s = (s + cb.astype(jnp.float32)[:, None]).astype(cdt)   # [B, g, V]
+    xin = x_cv[:, ko - 1]
+    if c_in < c0:
+        xin = jnp.pad(xin, ((0, 0), (0, c0 - c_in), (0, 0)))
+    if gated:
+        p, q = s[:, :c0], s[:, c0:]
+        lin = p + xin
+        a = (lin if act_func == "glu" else jnp.tanh(lin)) * jax.nn.sigmoid(q)
+    elif act_func == "relu":
+        a = jax.nn.relu(s + xin)
+    else:
+        a = jax.nn.silu(s + xin)
+
+    # LayerNorm over (V, C) jointly, eps=1e-12, f32 statistics
+    a32 = a.astype(jnp.float32)
+    mu = jnp.mean(a32, axis=(-2, -1), keepdims=True)
+    var = jnp.mean((a32 - mu) ** 2, axis=(-2, -1), keepdims=True)
+    a32 = (a32 - mu) * jax.lax.rsqrt(var + 1e-12)
+    # ln scale/bias are [V, C] in the shared param tree → cv orientation
+    lnw = params["ln"]["scale"].T[None]
+    lnb = params["ln"]["bias"].T[None]
+    a = (a32 * lnw + lnb).astype(cdt)                  # [B, c0, V]
+
+    a = _cv_dot(a, params["fc1"]["kernel"].astype(cdt), prec) \
+        + params["fc1"]["bias"].astype(cdt)[:, None]
+    a = jax.nn.relu(a)
+    if not deterministic and droprate > 0.0 and rng is not None:
+        keep = jax.random.bernoulli(rng, 1.0 - droprate, a.shape)
+        a = jnp.where(keep, a / (1.0 - droprate), jnp.zeros((), cdt))
+    a = _cv_dot(a, params["fc2"]["kernel"].astype(cdt), prec) \
+        + params["fc2"]["bias"].astype(cdt)[:, None]
+    # [B, end, V] → [B, 1, V, end]
+    return jnp.transpose(a, (0, 2, 1))[:, None]
+
+
 def fused_forward(params: dict, x: jax.Array, gop: Any, model: STGCN, *,
                   deterministic: bool = True, rng: jax.Array | None = None,
                   precision: str = "default",

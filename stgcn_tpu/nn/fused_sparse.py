@@ -56,7 +56,7 @@ from stgcn_tpu.kernels.vertex_fused import (
     pick_b_tile_fwd,
     tail_fused,
 )
-from stgcn_tpu.nn.fused import _output_block_apply
+from stgcn_tpu.nn.fused import _output_block_apply_cv
 from stgcn_tpu.nn.model import STGCN
 
 
@@ -482,27 +482,52 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
                  jnp.pad(lng.astype(jnp.float32), pad_v).T,
                  jnp.pad(lnb.astype(jnp.float32), pad_v).T)
 
-    # final block's LayerNorm normalize + dropout in XLA (one fused pass)
+    # final block's LayerNorm + dropout and the output head, staying in
+    # cv layout end-to-end. On the Pallas backend (single device) the
+    # whole head runs as two Mosaic kernels (kernels/output_head.py) —
+    # the XLA lowering of this short chain measured 41 ms of the 140 ms
+    # step at 100k vertices (every pass crosses the full [B, ·, ·, V]
+    # activation in HBM, fwd and bwd). The cv→vc exit is a pure reshape
+    # once the channel count is 1.
     a2, mu, rstd, lng_p, lnb_p = state
-    y = (a2.astype(jnp.float32) - mu) * rstd * lng_p + lnb_p
-    y = y.astype(cdt)
+    if backend == "pallas" and not sharded and ko > 1:
+        from stgcn_tpu.kernels.output_head import output_head_fused
+
+        if training:
+            imax = jnp.iinfo(jnp.int32).max
+            seed_a = jax.random.randint(drop_rng, (), 0, imax)
+            seed_b = jax.random.randint(out_rng, (), 0, imax)
+        else:
+            seed_a = seed_b = jnp.int32(0)
+        out = output_head_fused(
+            params["output"], a2, mu, rstd, lng_p, lnb_p,
+            v_true=v_true, act_func=model.act_func,
+            droprate=model.droprate, training=training,
+            seed_a=seed_a, seed_b=seed_b, tile_v=tile_v,
+            precision=precision, interpret=interpret)
+        return out[:b_in, :, :v_true, :].astype(jnp.float32)
+    y = ((a2.astype(jnp.float32) - mu) * rstd * lng_p + lnb_p).astype(cdt)
     if training:
         keep = jax.random.bernoulli(drop_rng, 1.0 - model.droprate, y.shape)
-        y = jnp.where(keep, y / (1.0 - model.droprate), 0.0).astype(cdt)
-    y = jnp.transpose(y, (0, 1, 3, 2))[:b_in, :, :v_true, :]
+        y = jnp.where(keep, y / (1.0 - model.droprate),
+                      jnp.zeros((), cdt))
+    y = y[:b_in]
 
     if ko > 1:
         prec = (lax.Precision.HIGHEST if precision == "highest" else None)
-        out = _output_block_apply(params["output"], y, v_true,
-                                  act_func=model.act_func,
-                                  droprate=model.droprate,
-                                  deterministic=deterministic, rng=out_rng,
-                                  prec=prec,
-                                  dtype=cdt if cdt != jnp.float32 else None)
-    else:  # ko == 0 — inline fc head (`models.py:38-42,48-51`)
-        a = jnp.einsum("btvc,cd->btvd", y, params["fc1"]["kernel"]) \
-            + params["fc1"]["bias"]
+        out = _output_block_apply_cv(params["output"], y, v_true,
+                                     act_func=model.act_func,
+                                     droprate=model.droprate,
+                                     deterministic=deterministic,
+                                     rng=out_rng, prec=prec,
+                                     dtype=cdt if cdt != jnp.float32
+                                     else None)
+    else:  # ko == 0 — inline fc head (`models.py:38-42,48-51`), cv layout
+        yv = y[..., :v_true]
+        a = jnp.einsum("btcv,cd->btdv", yv, params["fc1"]["kernel"]) \
+            + params["fc1"]["bias"][:, None]
         a = jax.nn.relu(a)
-        out = jnp.einsum("btvc,cd->btvd", a, params["fc2"]["kernel"]) \
-            + params["fc2"]["bias"]
+        a = jnp.einsum("btcv,cd->btdv", a, params["fc2"]["kernel"]) \
+            + params["fc2"]["bias"][:, None]
+        out = jnp.swapaxes(a, -1, -2)  # end channel is 1: a reshape
     return out.astype(jnp.float32)
