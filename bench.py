@@ -314,8 +314,22 @@ def bench_train_100k(n_vertex=100_000, batch=8, reps=8):
 def bench_train_1m(n_vertex=1_000_000, batch=1, reps=3):
     """End-to-end 1M-vertex single-chip training step (BASELINE
     configs[4]'s single-chip half, VERDICT r3 #4): int8 banded slabs
-    (the only pack that fits 16 GB HBM at this scale) + nv layout +
-    vertex-fused blocks + remat, bf16 compute."""
+    + nv layout + vertex-fused blocks + remat, bf16 compute.
+
+    Memory budget on the 16 GB chip: the config drops everything
+    duplicative — nv_only packs (one int8 family instead of two, −5.4
+    GB), remat_policy='minimal' (recompute graph terms in the backward),
+    bf16 LN-affine plumbing, and Lion with a bf16 momentum (−3.1 GB vs
+    AdamW; Lion is a reference-supported optimizer, `script/opt.py`).
+    Measured OOM ladder: 22.68 → 19.10 → 18.02 → 17.12 GB vs 15.75
+    available. The irreducible remainder (documented in BASELINE.md r4)
+    is the int8 banded pack itself: ~9.8 GB = v_pad × w with the 1M RCM
+    band w ≈ 9.7k — banded storage scales V^1.5 on planar graphs (200×
+    fill at 10 edges/vertex) — plus 2.06 GB f32 params (the reference's
+    per-vertex LN affine) + 1.03 GB momentum + ~2 GB live activations.
+    Single-chip 1M training needs an O(nnz) pack (round-5 item) or the
+    ≥2-host sharding configs[4] actually specifies (per-shard pack 1/P,
+    validated structurally in `scaling_1m`)."""
     import dataclasses
     import functools
 
@@ -340,7 +354,7 @@ def bench_train_1m(n_vertex=1_000_000, batch=1, reps=3):
             art, matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)))
         res["nnz"] = int(art.matrix.nnz)
         gop = make_graph_op(art, "banded_int8", banded_block_size=256,
-                            nv=True)
+                            nv=True, nv_only=True)
         model = STGCN(n_his=12, dtype=jnp.bfloat16, remat=True)
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal((batch, 12, n_vertex, 1)),
@@ -348,14 +362,17 @@ def bench_train_1m(n_vertex=1_000_000, batch=1, reps=3):
         params = model.init(jax.random.PRNGKey(0), x[:1], gop,
                             deterministic=True)["params"]
         log(f"[1m] prep {time.time() - t0:.1f}s, nnz={res['nnz']}")
-        tx = optax.adamw(1e-3, weight_decay=1e-3)
+        from stgcn_tpu.train.optim import lion
+
+        tx = lion(1e-3, weight_decay=1e-3, mu_dtype=jnp.bfloat16)
         key = jax.random.PRNGKey(7)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(p, s, g, xx, r):
             def loss(pp):
                 pred = fused_sparse_forward(pp, xx, g, model,
-                                            deterministic=False, rng=r)
+                                            deterministic=False, rng=r,
+                                            remat_policy="minimal")
                 return jnp.mean(pred.astype(jnp.float32) ** 2)
             l, grads = jax.value_and_grad(loss)(p)
             up, s2 = tx.update(grads, s, p)
@@ -379,7 +396,20 @@ def bench_train_1m(n_vertex=1_000_000, batch=1, reps=3):
         log(f"[1m] {dt * 1e3:.1f} ms/step ({batch / dt:.2f} samples/s)")
     except Exception as e:
         log(f"[1m] failed: {type(e).__name__}: {e}")
-        res["error"] = f"{type(e).__name__}: {e}"[:300]
+        msg = str(e)
+        import re as _re
+
+        m = _re.search(r"Ran out of memory.*?hbm capacity by [0-9.]+[GMK]",
+                       msg, _re.S)
+        res["error"] = ("OOM: " + " ".join(m.group(0).split())) if m \
+            else f"{type(e).__name__}: {msg}"[:300]
+        if m:
+            res["oom_analysis"] = (
+                "int8 banded pack ~9.8G (v_pad x w, w~9.7k RCM band: "
+                "V^1.5 scaling) + 2.06G f32 params (per-vertex LN "
+                "affine) + 1.03G bf16-Lion momentum + ~2G live "
+                "activations > 15.75G; needs O(nnz) pack or the >=2-host "
+                "sharding of configs[4] (see BASELINE.md r4)")
     return res
 
 

@@ -187,8 +187,10 @@ def _make_ohead_bwd_kernel(cfg, bt):
             cfg, x4raw, mu, rstd, lng, lnb, mask, dx4)
         dx_ref[...] = dx
         # per-batch-tile (V, C) affine-grad partials; caller sums axis 0
-        dlng_ref[...] = dlng[None]
-        dlnb_ref[...] = dlnb[None]
+        # (stored in the LN arrays' dtype — f32 partials are ~0.5 GB at
+        # 1M vertices)
+        dlng_ref[...] = dlng[None].astype(dlng_ref.dtype)
+        dlnb_ref[...] = dlnb[None].astype(dlnb_ref.dtype)
 
         @pl.when(pl.program_id(1) == 0)
         def _init_stats():
@@ -279,8 +281,8 @@ def _ohead_pallas_bwd(cfg, vtrue, seed, x, mu, rstd, lng, lnb, ck, cb,
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct(mu.shape, _F32),
             jax.ShapeDtypeStruct(rstd.shape, _F32),
-            jax.ShapeDtypeStruct((nbt, cfg.c_in, cfg.v_pad), _F32),
-            jax.ShapeDtypeStruct((nbt, cfg.c_in, cfg.v_pad), _F32),
+            jax.ShapeDtypeStruct((nbt, cfg.c_in, cfg.v_pad), lng.dtype),
+            jax.ShapeDtypeStruct((nbt, cfg.c_in, cfg.v_pad), lnb.dtype),
             jax.ShapeDtypeStruct(ck.shape, _F32),
             jax.ShapeDtypeStruct((1, cfg.g), _F32),
         ],
@@ -376,8 +378,8 @@ def _make_ofc_bwd_kernel(cfg, bt):
         da, dmu, drstd, dlnw, dlnb = _ln_drop_bwd(
             cfg, araw, mu, rstd, lnw, lnb, None, dh)
         da_ref[...] = da
-        dlnw_ref[...] = dlnw[None]
-        dlnb_ref[...] = dlnb[None]
+        dlnw_ref[...] = dlnw[None].astype(dlnw_ref.dtype)
+        dlnb_ref[...] = dlnb[None].astype(dlnb_ref.dtype)
 
         @pl.when(pl.program_id(1) == 0)
         def _init_stats():
@@ -466,8 +468,8 @@ def _ofc_pallas_bwd(cfg, vtrue, seed, a, mu, rstd, lnw, lnb, w1, b1,
             jax.ShapeDtypeStruct(a.shape, a.dtype),
             jax.ShapeDtypeStruct(mu.shape, _F32),
             jax.ShapeDtypeStruct(rstd.shape, _F32),
-            jax.ShapeDtypeStruct((nbt, cfg.c0, cfg.v_pad), _F32),
-            jax.ShapeDtypeStruct((nbt, cfg.c0, cfg.v_pad), _F32),
+            jax.ShapeDtypeStruct((nbt, cfg.c0, cfg.v_pad), lnw.dtype),
+            jax.ShapeDtypeStruct((nbt, cfg.c0, cfg.v_pad), lnb.dtype),
             jax.ShapeDtypeStruct(w1.shape, _F32),
             jax.ShapeDtypeStruct((1, cfg.c1), _F32),
             jax.ShapeDtypeStruct(w2.shape, _F32),
@@ -540,9 +542,13 @@ def output_head_fused(params: dict, a2, mu, rstd, lng_p, lnb_p, *,
     cfg = dataclasses.replace(cfg, b_tile=b_tile or pick_b_tile_o(cfg, b))
     cdt = a2.dtype
 
+    # the [C, V_pad] LN-affine copies follow the inter-block LN arrays'
+    # dtype (bf16 in mixed precision): at 1M vertices each f32 copy plus
+    # its transpose and grad mirror costs ~0.5 GB of HBM
+    ln_dt = lng_p.dtype
     pad_c = ((0, v_pad - params["ln"]["scale"].shape[0]), (0, 0))
-    lnw2 = jnp.pad(params["ln"]["scale"].astype(_F32), pad_c).T
-    lnb2 = jnp.pad(params["ln"]["bias"].astype(_F32), pad_c).T
+    lnw2 = jnp.pad(params["ln"]["scale"].astype(ln_dt), pad_c).T
+    lnb2 = jnp.pad(params["ln"]["bias"].astype(ln_dt), pad_c).T
 
     a, ps, pss = ohead_fused(cfg, jnp.int32(v_true), seed_a, a2,
                              mu, rstd, lng_p, lnb_p,

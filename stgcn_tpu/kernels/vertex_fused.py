@@ -547,8 +547,10 @@ def _make_head_bwd_kernel(cfg, b):
             # per-(batch tile) partials: a [tile_v] output block would be
             # revisited NON-consecutively across batch tiles, which Mosaic
             # does not re-fetch — the caller sums over the leading axis.
-            dlng_ref[...] = dlng[None]
-            dlnb_ref[...] = dlnb[None]
+            # Stored in the LN arrays' dtype (bf16 in mixed precision —
+            # [C, V_pad] f32 partials cost ~0.5 GB at 1M vertices).
+            dlng_ref[...] = dlng[None].astype(dlng_ref.dtype)
+            dlnb_ref[...] = dlnb[None].astype(dlnb_ref.dtype)
 
             # dmu/drstd blocks are constant over the inner (vertex) grid
             # dim, so accumulation across consecutive steps is safe.
@@ -685,9 +687,9 @@ def _head_pallas_bwd(cfg, seed, x, ln, w, gy):
         out_shapes += [jax.ShapeDtypeStruct(ln[0].shape, _F32),
                        jax.ShapeDtypeStruct(ln[1].shape, _F32),
                        jax.ShapeDtypeStruct((nbt, cfg.c_in, cfg.v_pad),
-                                            _F32),
+                                            ln[2].dtype),
                        jax.ShapeDtypeStruct((nbt, cfg.c_in, cfg.v_pad),
-                                            _F32)]
+                                            ln[3].dtype)]
     out_specs += [_cspec(c1k.shape), _cspec((1, cfg.g1)),
                   _cspec(gaw.shape), _cspec((1, cfg.c1))]
     out_shapes += [jax.ShapeDtypeStruct(c1k.shape, _F32),

@@ -293,6 +293,7 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
                          tile_v: int = 128,
                          b_tile: int | None = None,
                          remat: bool | None = None,
+                         remat_policy: str = "graph-terms",
                          precision: str = "auto",
                          use_pallas: bool | str | None = None,
                          interpret: bool = False) -> jax.Array:
@@ -368,6 +369,11 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
     cdt = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     if remat is None:
         remat = model.remat
+    # LN affine arrays threaded between blocks (and their grad partials)
+    # are [C, V_pad] — at 1M vertices the f32 copies and transposes cost
+    # gigabytes of HBM temps; bf16 mode stores them in bf16 (the in-
+    # kernel statistics math stays f32)
+    ln_dt = cdt if precision == "bfloat16" else jnp.float32
 
     training = (not deterministic) and model.droprate > 0.0
     if training:
@@ -436,8 +442,15 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
 
     blk_fn = _st_block_sharded if sharded else _st_block
     if remat:
-        policy = jax.checkpoint_policies.save_only_these_names(
-            "stgcn_xg", "stgcn_graph_term")
+        if remat_policy == "minimal":
+            # save NOTHING per block (full recompute in the backward):
+            # trades ~2 pair re-applications per block for ~0.6-1 GB of
+            # saved graph terms per block — what makes the 1M-vertex
+            # single-chip step fit in 16 GB HBM
+            policy = None
+        else:
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "stgcn_xg", "stgcn_graph_term")
         blk_fn = jax.checkpoint(blk_fn, static_argnums=(0,), policy=policy)
 
     state = None  # (a2, mu, rstd, lng_pad, lnb_pad) awaiting normalize
@@ -451,8 +464,8 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
             # see kernels/vertex_fused._ln_drop_fwd)
             mu = jnp.zeros((b, cfg.t_in, 1, 1), jnp.float32)
             rstd = jnp.ones((b, cfg.t_in, 1, 1), jnp.float32)
-            lng_p = jnp.ones((cfg.c_in, v_pad), jnp.float32)
-            lnb_p = jnp.zeros((cfg.c_in, v_pad), jnp.float32)
+            lng_p = jnp.ones((cfg.c_in, v_pad), ln_dt)
+            lnb_p = jnp.zeros((cfg.c_in, v_pad), ln_dt)
             head_in = x
         else:
             a2_prev, mu, rstd, lng_p, lnb_p = state
@@ -479,8 +492,8 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
         rstd = lax.rsqrt(jnp.maximum(var, 0.0) + 1e-12)
         pad_v = ((0, v_pad - v_true), (0, 0))
         state = (a2, mu, rstd,
-                 jnp.pad(lng.astype(jnp.float32), pad_v).T,
-                 jnp.pad(lnb.astype(jnp.float32), pad_v).T)
+                 jnp.pad(lng.astype(ln_dt), pad_v).T,
+                 jnp.pad(lnb.astype(ln_dt), pad_v).T)
 
     # final block's LayerNorm + dropout and the output head, staying in
     # cv layout end-to-end. On the Pallas backend (single device) the

@@ -216,6 +216,12 @@ class BandedGraphOp(struct.PyTreeNode):
         """Apply to an already-folded ``[V, N]`` operand (V rows ≤ pad)."""
         from stgcn_tpu.kernels import banded_spmm as bk
 
+        if self.slabs.shape[0] == 0 and self.has_nv:
+            # nv_only pack (the vn slab family was dropped to fit HBM):
+            # route through the nv kernels, paying the two transposes
+            v = x_vn.shape[0]
+            y = self.apply_nv(x_vn.T, scale=scale).T
+            return y[:v]
         unit = isinstance(scale, float) and scale == 1.0
         if self.scales is not None:
             # int8 pack: fold the scalar into the dequant scales, never
@@ -243,6 +249,10 @@ class BandedGraphOp(struct.PyTreeNode):
         """Folded-operand form of :meth:`cheb_pair` (``[V, N]`` in/out)."""
         from stgcn_tpu.kernels import banded_spmm as bk
 
+        if self.slabs.shape[0] == 0 and self.has_nv:
+            t1, t2 = self.cheb_pair_nv(x_vn.T)
+            v = x_vn.shape[0]
+            return t1.T[:v], t2.T[:v]
         v = x_vn.shape[0]
         # stream-safe packs always take the streaming pair: with the x
         # block ring it pays slabs + x + outputs — the bytes of ONE
@@ -352,7 +362,8 @@ def bcsr_graph_op(gso: GraphShiftOperator, *, block_size: int = 256,
 def banded_graph_op(gso: GraphShiftOperator, *, dtype=jnp.float32,
                     use_pallas: bool = True, quantize: bool = False,
                     block_size: int | None = None,
-                    stream: bool = True, nv: bool = False) -> BandedGraphOp:
+                    stream: bool = True, nv: bool = False,
+                    nv_only: bool = False) -> BandedGraphOp:
     # measured on v5e (100k RCM road graph): 256-row slabs fastest at
     # eval widths (n=128, resident-x); 512-row slabs ~1.13x faster at
     # training widths (n~1280, streaming: wider slabs cut the window
@@ -411,6 +422,14 @@ def banded_graph_op(gso: GraphShiftOperator, *, dtype=jnp.float32,
                 csr_t, block_size=bs, col_align=bs, contain_diag=True,
                 dtype=sdt, v_pad=v_pad, transpose_slabs=True)[0]
         w = slabs.shape[-1]
+        if nv and nv_only:
+            # carry ONLY the nv pack family: at 1M vertices one int8 pack
+            # is ~5.4 GB, and the vn twins would double that for kernels
+            # the fused nv path never calls (the vn surfaces raise via
+            # zero-size slabs). Saves the difference between fitting and
+            # OOM on a 16 GB chip (BENCH r4 train_1m).
+            empty = jnp.zeros((0,) + tuple(slabs.shape[1:]), slabs.dtype)
+            slabs = slabs_t = empty
         return BandedGraphOp(slabs=slabs, lo=jnp.asarray(lo),
                              slabs_t=slabs_t, lo_t=jnp.asarray(lo_t),
                              n_vertex=gso.n_vertex, v_pad=v_pad,

@@ -99,22 +99,32 @@ class ScaleByLionState(NamedTuple):
     mu: optax.Params
 
 
-def lion(learning_rate, b1=0.9, b2=0.99, weight_decay=1e-3):
+def lion(learning_rate, b1=0.9, b2=0.99, weight_decay=1e-3,
+         mu_dtype=None):
     """Sign-momentum Lion, reference order: decay → sign step → momentum
-    update (`opt.py:56,69-74`)."""
+    update (`opt.py:56,69-74`). ``mu_dtype`` stores the momentum in a
+    narrower dtype (bf16 halves optimizer state — the sign nonlinearity
+    makes Lion famously tolerant of low-precision momentum; used by the
+    1M-vertex single-chip config where f32 momentum alone is 2 GB)."""
 
     def init(params):
-        return ScaleByLionState(jnp.zeros([], jnp.int32),
-                                jax.tree.map(jnp.zeros_like, params))
+        return ScaleByLionState(
+            jnp.zeros([], jnp.int32),
+            jax.tree.map(lambda p: jnp.zeros_like(
+                p, dtype=mu_dtype or p.dtype), params))
 
     def update(grads, state, params):
         count = state.count + 1
         lr = learning_rate(count - 1) if callable(learning_rate) else learning_rate
 
         def delta(g, m, p):
-            return -lr * (jnp.sign(b1 * m + (1 - b1) * g) + weight_decay * p)
+            return -lr * (jnp.sign(b1 * m.astype(g.dtype) + (1 - b1) * g)
+                          + weight_decay * p)
 
-        mu = jax.tree.map(lambda m, g: b2 * m + (1 - b2) * g, state.mu, grads)
+        mu = jax.tree.map(
+            lambda m, g: (b2 * m.astype(g.dtype)
+                          + (1 - b2) * g).astype(m.dtype),
+            state.mu, grads)
         return jax.tree.map(delta, grads, state.mu, params), ScaleByLionState(count, mu)
 
     return optax.GradientTransformation(init, update)

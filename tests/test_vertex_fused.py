@@ -352,3 +352,39 @@ def test_dense_nv_wider_tile_pad():
 
     with pytest.raises(ValueError, match="vertex lanes"):
         gop.apply_nv(x_nv[:, :V - 7])
+
+
+def test_nv_only_pack_and_minimal_remat():
+    """nv_only banded ops (the 1M-vertex memory configuration: only the
+    pre-transposed nv slab family is carried) must (a) serve the vn
+    surfaces through the nv fallback for the unfused model, and (b) run
+    the fused path under remat_policy='minimal' (full backward
+    recompute) with parity and finite grads."""
+    from stgcn_tpu.ops.graph_op import banded_graph_op as bgo
+
+    model, gop_full, x, params = _setup()
+    adj = random_road_graph(V, k_neighbors=4, seed=0)
+    art = build_gso(adj, "sym_norm_lap", cheb=True)
+    art = dataclasses.replace(
+        art, matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)))
+    gop = bgo(art, block_size=128, use_pallas=False, nv=True, nv_only=True)
+    assert gop.slabs.shape[0] == 0 and gop.has_nv
+
+    y_ref = model.apply({"params": params}, x, gop_full, deterministic=True)
+    y_nvo = model.apply({"params": params}, x, gop, deterministic=True)
+    np.testing.assert_allclose(y_nvo, y_ref, atol=2e-5, rtol=2e-5)
+
+    y_f = fused_sparse_forward(params, x, gop, model, deterministic=True,
+                               interpret=True, remat=True,
+                               remat_policy="minimal")
+    np.testing.assert_allclose(y_f, y_ref, atol=2e-4, rtol=2e-4)
+
+    def loss(p):
+        y = fused_sparse_forward(p, x, gop, model, deterministic=True,
+                                 interpret=True, remat=True,
+                                 remat_policy="minimal")
+        return jnp.sum(y * jnp.cos(y))
+
+    gr = jax.grad(loss)(params)
+    fr, _ = jax.flatten_util.ravel_pytree(gr)
+    assert np.all(np.isfinite(fr))
