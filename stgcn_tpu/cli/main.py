@@ -139,7 +139,8 @@ def config_from_args(args) -> TrainConfig:
 
 def build_trainer(cfg: TrainConfig, *, dataset: str, data_root: str = "data",
                   gso_type: str = "sym_norm_lap", graph_op_kind: str = "auto",
-                  synthetic_ok: bool = True, mesh=None) -> Trainer:
+                  synthetic_ok: bool = True, mesh=None,
+                  banded_block_size: int = 256) -> Trainer:
     """Data + graph + model assembly (reference `data_preparate` +
     `prepare_model`, `main.py:96-158`).
 
@@ -170,7 +171,8 @@ def build_trainer(cfg: TrainConfig, *, dataset: str, data_root: str = "data",
             graph_op_kind == "auto" and art.n_vertex > 4096)
         if banded:
             gop, partition = banded_sharded_graph_op(
-                art, mesh, quantize=(graph_op_kind == "banded_int8"))
+                art, mesh, block_size=banded_block_size,
+                quantize=(graph_op_kind == "banded_int8"))
         else:
             gop, partition = sharded_graph_op(art, mesh)
         perm = partition.perm
@@ -197,7 +199,7 @@ def build_trainer(cfg: TrainConfig, *, dataset: str, data_root: str = "data",
                 and art.n_vertex > 4096):
             kw["nv"] = True
         gop = make_graph_op(art, kind=graph_op_kind,
-                            banded_block_size=256, **kw)
+                            banded_block_size=banded_block_size, **kw)
 
     vel_path = os.path.join(data_root, dataset, "vel.csv")
     if not os.path.exists(vel_path):
