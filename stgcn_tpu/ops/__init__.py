@@ -11,9 +11,11 @@ from stgcn_tpu.ops.graph_op import (  # noqa: F401
     BandedGraphOp,
     BcsrGraphOp,
     DenseGraphOp,
+    EllGraphOp,
     GraphOp,
     banded_graph_op,
     bcsr_graph_op,
     dense_graph_op,
+    ell_graph_op,
     make_graph_op,
 )
