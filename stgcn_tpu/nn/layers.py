@@ -249,6 +249,10 @@ class STConvBlock(nn.Module):
     use_bias: bool = True
     droprate: float = 0.5
     dtype: Any = None
+    # per-vertex LN affine params: at 1M vertices these [V, C] arrays are
+    # 99.9% of all parameters (2.06 GB f32); bf16 halves that (parity
+    # mode keeps f32 — the normalization statistics stay f32 either way)
+    ln_param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, gop: Any, deterministic: bool = True) -> jax.Array:
@@ -263,6 +267,7 @@ class STConvBlock(nn.Module):
         # statistics always in f32 for stability under bf16 compute
         x = nn.LayerNorm(epsilon=1e-12, reduction_axes=(-2, -1),
                          feature_axes=(-2, -1), dtype=jnp.float32,
+                         param_dtype=self.ln_param_dtype,
                          name="ln")(x)
         if self.dtype is not None:
             x = x.astype(self.dtype)
@@ -281,6 +286,7 @@ class OutputBlock(nn.Module):
     use_bias: bool = True
     droprate: float = 0.5
     dtype: Any = None
+    ln_param_dtype: Any = jnp.float32  # see STConvBlock.ln_param_dtype
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
@@ -288,6 +294,7 @@ class OutputBlock(nn.Module):
                               dtype=self.dtype, name="tmp_conv1")(x)
         x = nn.LayerNorm(epsilon=1e-12, reduction_axes=(-2, -1),
                          feature_axes=(-2, -1), dtype=jnp.float32,
+                         param_dtype=self.ln_param_dtype,
                          name="ln")(x)
         if self.dtype is not None:
             x = x.astype(self.dtype)

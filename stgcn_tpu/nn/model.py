@@ -62,6 +62,10 @@ class STGCN(nn.Module):
     use_bias: bool = True
     droprate: float = 0.5
     dtype: Any = None  # compute dtype (bf16 mixed precision); params stay f32
+    # per-vertex LN affine param dtype: bf16 halves 99.9% of the params
+    # at 1M vertices (2.06 -> 1.03 GB + matching optimizer-state savings);
+    # parity/default mode keeps f32
+    ln_param_dtype: Any = jnp.float32
     remat: bool = False  # jax.checkpoint each ST block: recompute its
                          # activations in the backward instead of storing
                          # them — required at 100k+ vertices where one
@@ -99,14 +103,16 @@ class STGCN(nn.Module):
                 kt=self.kt, ks=self.ks, channels=tuple(blocks[l + 1]),
                 act_func=self.act_func, graph_conv_type=self.graph_conv_type,
                 use_bias=self.use_bias, droprate=self.droprate,
-                dtype=self.dtype, name=f"st_block_{l}",
+                dtype=self.dtype, ln_param_dtype=self.ln_param_dtype,
+                name=f"st_block_{l}",
             )(x, gop, deterministic)
 
         if ko > 1:
             x = L.OutputBlock(
                 ko=ko, channels=tuple(blocks[-2]), end_channel=blocks[-1][0],
                 act_func=self.act_func, use_bias=self.use_bias,
-                droprate=self.droprate, dtype=self.dtype, name="output",
+                droprate=self.droprate, dtype=self.dtype,
+                ln_param_dtype=self.ln_param_dtype, name="output",
             )(x, deterministic=deterministic)
         else:  # ko == 0 — fc head (`models.py:38-42,48-51`; dropout defined
             # there but never applied in forward — mirrored here)
