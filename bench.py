@@ -331,23 +331,16 @@ def bench_train_100k(n_vertex=100_000, batch=8, reps=8):
 
 def bench_train_1m(n_vertex=1_000_000, batch=1, reps=3):
     """End-to-end 1M-vertex single-chip training step (BASELINE
-    configs[4]'s single-chip half, VERDICT r3 #4): int8 banded slabs
-    + nv layout + vertex-fused blocks + remat, bf16 compute.
+    configs[4]'s single-chip half): **O(nnz) int8 blocked-ELL pack**
+    (kernels/ell_nv.py) + vertex-fused blocks + minimal remat, bf16
+    compute, Lion with bf16 momentum.
 
-    Memory budget on the 16 GB chip: the config drops everything
-    duplicative — nv_only packs (one int8 family instead of two, −5.4
-    GB), remat_policy='minimal' (recompute graph terms in the backward),
-    bf16 LN-affine plumbing, and Lion with a bf16 momentum (−3.1 GB vs
-    AdamW; Lion is a reference-supported optimizer, `script/opt.py`).
-    Measured OOM ladder: 22.68 → 19.10 → 18.02 → 17.12 GB vs 15.75
-    available. The irreducible remainder (documented in BASELINE.md r4)
-    is the int8 banded pack itself: ~9.8 GB = v_pad × w with the 1M RCM
-    band w ≈ 9.7k — banded storage scales V^1.5 on planar graphs (200×
-    fill at 10 edges/vertex) — plus 2.06 GB f32 params (the reference's
-    per-vertex LN affine) + 1.03 GB momentum + ~2 GB live activations.
-    Single-chip 1M training needs an O(nnz) pack (round-5 item) or the
-    ≥2-host sharding configs[4] actually specifies (per-shard pack 1/P,
-    validated structurally in `scaling_1m`)."""
+    History: rounds 2-4 OOMed here with the banded pack — its storage is
+    v_pad × w with w the RCM band (~9.7k at 1M: V^1.5 scaling on planar
+    graphs), ~9.8 GB int8, putting the step at 17.12 GB vs 15.75
+    available (the full OOM ladder is in BASELINE.md r4). The ELL pack
+    keeps only live 256×256 tiles (~6/block row at road sparsity):
+    ~1.6 GB — the round-5 fix (VERDICT r4 next #2)."""
     import dataclasses
     import functools
 
@@ -367,12 +360,19 @@ def bench_train_1m(n_vertex=1_000_000, batch=1, reps=3):
     try:
         t0 = time.time()
         adj = random_road_graph(n_vertex, k_neighbors=8, seed=0)
+        log(f"[1m] graph gen {time.time() - t0:.0f}s")
+        t1 = time.time()
         art = build_gso(adj, "sym_norm_lap", cheb=True)
+        log(f"[1m] gso {time.time() - t1:.0f}s")
+        t1 = time.time()
         art = dataclasses.replace(
             art, matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)))
+        log(f"[1m] rcm {time.time() - t1:.0f}s")
         res["nnz"] = int(art.matrix.nnz)
-        gop = make_graph_op(art, "banded_int8", banded_block_size=256,
-                            nv=True, nv_only=True)
+        t1 = time.time()
+        gop = make_graph_op(art, "ell_int8", banded_block_size=256)
+        log(f"[1m] ell pack {time.time() - t1:.0f}s")
+        res["pack_bytes"] = int(gop.data.size * gop.data.dtype.itemsize)
         model = STGCN(n_his=12, dtype=jnp.bfloat16, remat=True)
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal((batch, 12, n_vertex, 1)),
