@@ -37,7 +37,7 @@ RESULTS_FILE = os.path.join(ROOT, "bench_results.json")
 # printed from whatever sections completed, and bench_results.json is
 # flushed incrementally after every section.
 _T0 = time.time()
-BUDGET_S = float(os.environ.get("STGCN_BENCH_BUDGET_S", "1200"))
+BUDGET_S = float(os.environ.get("STGCN_BENCH_BUDGET_S", "1500"))
 
 
 def remaining() -> float:
@@ -358,20 +358,61 @@ def bench_train_1m(n_vertex=1_000_000, batch=1, reps=3):
 
     res = {"n_vertex": n_vertex, "batch": batch}
     try:
+        from stgcn_tpu.ops.graph_op import EllGraphOp
+
+        # the synthetic 1M graph is deterministic (seed-pinned), so the
+        # int8 ELL pack is cached on disk: host prep is ~2 min (graph gen
+        # 33s + gso 25s lanczos + rcm 13s + pack 59s) but the budgeted
+        # bench shouldn't re-pay it every round
+        cache = os.path.join(ROOT, "data", ".bench_cache",
+                             f"ell_v{n_vertex}_k8_s0_bs256.npz")
         t0 = time.time()
-        adj = random_road_graph(n_vertex, k_neighbors=8, seed=0)
-        log(f"[1m] graph gen {time.time() - t0:.0f}s")
-        t1 = time.time()
-        art = build_gso(adj, "sym_norm_lap", cheb=True)
-        log(f"[1m] gso {time.time() - t1:.0f}s")
-        t1 = time.time()
-        art = dataclasses.replace(
-            art, matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)))
-        log(f"[1m] rcm {time.time() - t1:.0f}s")
-        res["nnz"] = int(art.matrix.nnz)
-        t1 = time.time()
-        gop = make_graph_op(art, "ell_int8", banded_block_size=256)
-        log(f"[1m] ell pack {time.time() - t1:.0f}s")
+        if os.path.exists(cache):
+            z = np.load(cache)
+            res["nnz"] = int(z["nnz"])
+            gop = EllGraphOp(
+                data=jnp.asarray(z["data"]), cols=jnp.asarray(z["cols"]),
+                counts=jnp.asarray(z["counts"]),
+                data_t=None, cols_t=None, counts_t=None,
+                scales=jnp.asarray(z["scales"]), scales_t=None,
+                n_vertex=n_vertex, block_size=256)
+            # symmetric GSO: transpose pack is the same device buffers
+            gop = gop.replace(data_t=gop.data, cols_t=gop.cols,
+                              counts_t=gop.counts, scales_t=gop.scales)
+            log(f"[1m] ell pack loaded from cache {time.time() - t0:.0f}s")
+        else:
+            from stgcn_tpu.graph.packing import pack_ell_nv
+
+            adj = random_road_graph(n_vertex, k_neighbors=8, seed=0)
+            log(f"[1m] graph gen {time.time() - t0:.0f}s")
+            t1 = time.time()
+            art = build_gso(adj, "sym_norm_lap", cheb=True)
+            log(f"[1m] gso {time.time() - t1:.0f}s")
+            t1 = time.time()
+            art = dataclasses.replace(
+                art,
+                matrix=permute_matrix(art.matrix, rcm_ordering(art.matrix)))
+            log(f"[1m] rcm {time.time() - t1:.0f}s")
+            res["nnz"] = int(art.matrix.nnz)
+            t1 = time.time()
+            # pack on the host and cache the HOST arrays before the device
+            # transfer: reading 1.8 GB back off the chip through the
+            # tunneled runtime for savez is minutes, host->disk is seconds
+            data, cols_, counts_, scales_ = pack_ell_nv(
+                art.matrix, block_size=256, quantize=True)
+            log(f"[1m] ell pack {time.time() - t1:.0f}s")
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            np.savez(cache, data=data, cols=cols_, counts=counts_,
+                     scales=scales_, nnz=res["nnz"])
+            gop = EllGraphOp(
+                data=jnp.asarray(data), cols=jnp.asarray(cols_),
+                counts=jnp.asarray(counts_),
+                data_t=None, cols_t=None, counts_t=None,
+                scales=jnp.asarray(scales_), scales_t=None,
+                n_vertex=n_vertex, block_size=256)
+            gop = gop.replace(data_t=gop.data, cols_t=gop.cols,
+                              counts_t=gop.counts, scales_t=gop.scales)
+            del data
         res["pack_bytes"] = int(gop.data.size * gop.data.dtype.itemsize)
         model = STGCN(n_his=12, dtype=jnp.bfloat16, remat=True)
         rng = np.random.default_rng(0)
@@ -706,7 +747,9 @@ def main():
             _OUT["train_100k"]["device"] = device
     # configs[4] single-chip half: 1M-vertex training step on the real chip
     if not (args.skip_1m or args.skip_train_1m):
-        r = _section("train_1m", 300, bench_train_1m)
+        # est: cache load + ~3 GB H2D through the tunneled runtime
+        # (~34 MB/s measured) + ~200s compile + steps
+        r = _section("train_1m", 450, bench_train_1m)
         if r:
             _OUT["train_1m"]["device"] = device
     if not args.skip_scaling:

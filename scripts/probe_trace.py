@@ -69,6 +69,43 @@ def top_ops(trace_dir, k=30):
     for name, d in sorted(dur.items(), key=lambda kv: -kv[1])[:k]:
         print(f"  {d/1e3:9.3f} ms  x{cnt[name]:4d}  {name[:110]}")
 
+    # ---- fwd/bwd attribution (VERDICT r4 next #3): bucket device time by
+    # the jax op_name in the event metadata — "transpose(jvp(...))" marks
+    # the backward, a plain name the forward; "named" pallas/fusion source
+    # lines identify the kernel family.
+    buckets = defaultdict(float)
+    classified = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pname = pid_names.get(e.get("pid"), "")
+        if "TPU" not in pname and "/device" not in pname.lower():
+            continue
+        a = e.get("args", {}) or {}
+        meta = " ".join(str(v) for v in a.values()) + " " + e.get("name", "")
+        d = float(e.get("dur", 0.0))
+        direction = "bwd" if "transpose(jvp" in meta else \
+            ("opt" if ("lion" in meta or "adamw" in meta
+                       or "apply_updates" in meta) else "fwd")
+        src = "?"
+        mfile = [t for t in meta.replace('"', " ").split()
+                 if ".py" in t and "site-packages" not in t]
+        if mfile:
+            src = os.path.basename(mfile[0].split("source_file=")[-1])
+        elif "pallas" in meta or "custom-call" in meta:
+            src = "custom-call"
+        elif "fusion" in e.get("name", ""):
+            src = "xla-fusion"
+        elif "copy" in e.get("name", "") or "transpose" in e.get("name", ""):
+            src = "copy/transpose"
+        buckets[(direction, src)] += d
+        classified += d
+    if classified:
+        print(f"\nfwd/bwd attribution ({classified/1e3:.2f} ms classified):")
+        for (direction, src), d in sorted(buckets.items(),
+                                          key=lambda kv: -kv[1])[:20]:
+            print(f"  {d/1e3:9.3f} ms  {direction:3s}  {src}")
+
 
 def main():
     ap = argparse.ArgumentParser()

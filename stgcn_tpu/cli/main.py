@@ -75,8 +75,11 @@ def get_parameters(argv=None):
                         choices=["default", "high", "highest"],
                         help="'highest' for parity runs; 'default' (bf16 MXU) for speed")
     parser.add_argument("--graph_op", type=str, default="auto",
-                        choices=["auto", "dense", "bcsr", "banded", "banded_int8"],
-                        help="GSO representation: dense MXU matmul or Pallas block-sparse")
+                        choices=["auto", "dense", "bcsr", "banded",
+                                 "banded_int8", "ell", "ell_int8"],
+                        help="GSO representation: dense MXU matmul or Pallas "
+                             "block-sparse (banded = windowed slabs; ell = "
+                             "O(nnz) blocked-ELL, the 1M-vertex form)")
     parser.add_argument("--shuffle", type=_str2bool, default=False,
                         help="shuffle training windows (reference keeps False)")
     parser.add_argument("--ckpt_dir", type=str, default=None)
@@ -177,10 +180,11 @@ def build_trainer(cfg: TrainConfig, *, dataset: str, data_root: str = "data",
             gop, partition = sharded_graph_op(art, mesh)
         perm = partition.perm
     else:
-        if graph_op_kind in ("banded", "banded_int8") or (
-                graph_op_kind == "auto" and art.n_vertex > 4096):
-            # sparse kernels want the narrow RCM band; reorder the graph
-            # and, below, the matching sensor columns of the series
+        if graph_op_kind in ("banded", "banded_int8", "ell", "ell_int8") \
+                or (graph_op_kind == "auto" and art.n_vertex > 4096):
+            # sparse kernels want the narrow RCM band (ELL: clustered
+            # column blocks); reorder the graph and, below, the matching
+            # sensor columns of the series
             from stgcn_tpu.graph.partition import permute_matrix, rcm_ordering
 
             perm = rcm_ordering(art.matrix)

@@ -76,6 +76,13 @@ def test_lambda_max_golden(name):
     assert lmax == pytest.approx(GOLDEN_LAMBDA_MAX[name], abs=5e-4)
 
 
+def test_lambda_max_lanczos_matches_exact():
+    g = gso_mod.calc_gso(load_adj("pems-bay"), "sym_norm_lap")
+    exact = gso_mod.lambda_max(g, method="exact")
+    lanczos = gso_mod.lambda_max(g, method="lanczos")
+    assert abs(exact - lanczos) < 1e-8 * max(1.0, exact)
+
+
 def test_lambda_max_power_matches_exact():
     adj = load_adj("pemsd7-m")
     g = gso_mod.calc_gso(adj, "sym_norm_lap")
