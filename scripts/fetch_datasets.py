@@ -54,27 +54,57 @@ def _gdrive(file_id: str) -> bytes:
     return _download(url)
 
 
-def fetch(dataset: str, data_root: str) -> str:
+def parse_blob(blob: bytes, *, kind: str, n_vertex: int,
+               member: str | None = None):
+    """Decode a downloaded artifact into the [T, n_vertex] speed array.
+
+    Split from the network stage so the parsing path is testable offline
+    against fixtures (VERDICT r4 next #8 — keep the real-data path warm
+    while egress is blocked)."""
     import numpy as np
 
-    spec = SOURCES[dataset]
-    out = os.path.join(data_root, dataset, "vel.csv")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    if spec["kind"] == "zip":
-        blob = _download(spec["url"])
+    if kind == "zip":
         with zipfile.ZipFile(io.BytesIO(blob)) as z:
-            data = np.loadtxt(io.BytesIO(z.read(spec["member"])),
-                              delimiter=",")
-    else:
+            data = np.loadtxt(io.BytesIO(z.read(member)), delimiter=",")
+    elif kind == "h5":
+        import tempfile
+
         import pandas as pd
 
-        blob = _gdrive(spec["gdrive_id"])
-        df = pd.read_hdf(io.BytesIO(blob))
+        # pandas HDF needs a real file path (pytables has no BytesIO API)
+        with tempfile.NamedTemporaryFile(suffix=".h5") as f:
+            f.write(blob)
+            f.flush()
+            df = pd.read_hdf(f.name)
         data = df.values
-    assert data.ndim == 2 and data.shape[1] == spec["n_vertex"], data.shape
-    np.savetxt(out, data, delimiter=",", fmt="%.6g")
+    else:
+        raise ValueError(f"unknown artifact kind {kind!r}")
+    assert data.ndim == 2 and data.shape[1] == n_vertex, data.shape
+    return data
+
+
+def write_vel(data, dataset: str, data_root: str) -> str:
+    import numpy as np
+
+    out = os.path.join(data_root, dataset, "vel.csv")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    # header row of sensor ids: load_vel (like the reference's pd.read_csv,
+    # `dataloader.py:25`) consumes the first CSV line as a header — a
+    # headerless file would silently lose its first timestep
+    header = ",".join(str(i) for i in range(data.shape[1]))
+    np.savetxt(out, data, delimiter=",", fmt="%.6g", header=header,
+               comments="")
     print(f"wrote {out} {data.shape}")
     return out
+
+
+def fetch(dataset: str, data_root: str) -> str:
+    spec = SOURCES[dataset]
+    blob = _download(spec["url"]) if spec["kind"] == "zip" \
+        else _gdrive(spec["gdrive_id"])
+    data = parse_blob(blob, kind=spec["kind"], n_vertex=spec["n_vertex"],
+                      member=spec.get("member"))
+    return write_vel(data, dataset, data_root)
 
 
 def freeze_oracle(dataset: str = "pemsd7-m",
