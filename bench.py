@@ -312,8 +312,11 @@ def bench_train_100k(n_vertex=100_000, batch=8, reps=8):
                            rngs={"dropout": r})
 
     def fused(p, g, xx, r):
+        # tile_v=256 with whole-batch tiles halves the vertex-grid step
+        # count: measured 95.3 -> 88.2 ms/step (BASELINE.md r5); the
+        # same knobs ship on the CLI (--fused_tile_v/--fused_b_tile)
         return fused_sparse_forward(p, xx, g, model, deterministic=False,
-                                    rng=r)
+                                    rng=r, tile_v=256, b_tile=batch)
 
     res = {"n_vertex": n_vertex, "batch": batch}
     for name, fn in (("unfused", unfused), ("fused", fused)):

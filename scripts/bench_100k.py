@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--step-only", action="store_true",
                     help="skip the pair/forward sections (memory headroom)")
+    ap.add_argument("--tile-v", type=int, default=128)
+    ap.add_argument("--b-tile", type=int, default=None)
     ap.add_argument("--profile-dir", default=None)
     args = ap.parse_args()
 
@@ -77,7 +79,8 @@ def main():
 
         def apply_fn(p, g, xx, r, det):
             return fused_sparse_forward(p, xx, g, model, deterministic=det,
-                                        rng=r)
+                                        rng=r, tile_v=args.tile_v,
+                                        b_tile=args.b_tile)
     else:
         def apply_fn(p, g, xx, r, det):
             rngs = None if det else {"dropout": r}

@@ -100,6 +100,13 @@ def get_parameters(argv=None):
                              "via the nv dense matmul)")
     parser.add_argument("--remat", type=_str2bool, default=False,
                         help="checkpoint/rematerialize ST blocks (100k+ vertices)")
+    parser.add_argument("--fused_tile_v", type=int, default=None,
+                        help="vertex-tile width of the fused kernels (default "
+                             "128; 256 with --fused_b_tile = batch measured "
+                             "95.3 -> 88.2 ms/step at 100k, BASELINE.md r5)")
+    parser.add_argument("--fused_b_tile", type=int, default=None,
+                        help="batch tile of the fused kernels (default: "
+                             "VMEM-budgeted)")
     # --- multi-chip (SURVEY §2.9-2.10) ---
     parser.add_argument("--mesh_data", type=int, default=1,
                         help="data-parallel mesh axis size (batch shards here; "
@@ -135,6 +142,7 @@ def config_from_args(args) -> TrainConfig:
         seed=args.seed, shuffle=args.shuffle,
         compute_dtype=None if args.compute_dtype == "float32" else args.compute_dtype,
         fused=args.fused, remat=args.remat,
+        fused_tile_v=args.fused_tile_v, fused_b_tile=args.fused_b_tile,
         ckpt_dir=args.ckpt_dir or f"checkpoints/STGCN_{args.dataset}",
         log_path=args.log_path, dataset_name=args.dataset,
     )

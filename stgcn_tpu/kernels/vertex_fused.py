@@ -144,19 +144,25 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
 
 
-def pick_b_tile(cfg: VertexBlockCfg, b: int,
-                budget_bytes: int = 52 * 1024 * 1024) -> int:
-    """Batch tile whose estimated per-grid-step VMEM footprint (worst
-    case: the tail backward — f32 intermediates for the forward replay,
-    the gradient chain, and double-buffered input blocks) stays under
-    ``budget_bytes`` (the kernels' scoped limit is 100 MB). Prefers an
-    exact divisor of ``b`` (no padding); falls back to the largest
-    power of two under budget, for which the caller pads the batch."""
+def bwd_bytes_per_sample(cfg: VertexBlockCfg) -> int:
+    """Estimated per-grid-step VMEM bytes PER BATCH SAMPLE of the worst
+    kernel (the tail backward — f32 intermediates for the forward
+    replay, the gradient chain, and double-buffered input blocks)."""
     nt = cfg.n_terms
-    per_sample = 4 * cfg.tile_v * (
+    return 4 * cfg.tile_v * (
         cfg.t_in * cfg.c_in * 3
         + cfg.t1 * (cfg.g1 * 3 + cfg.c0 * 2 + cfg.c1 * (5 + 2 * nt))
         + cfg.t2 * (cfg.g2 * 3 + cfg.c2 * 4))
+
+
+def pick_b_tile(cfg: VertexBlockCfg, b: int,
+                budget_bytes: int = 52 * 1024 * 1024) -> int:
+    """Batch tile whose estimated per-grid-step VMEM footprint
+    (:func:`bwd_bytes_per_sample`) stays under ``budget_bytes`` (the
+    kernels' scoped limit is 100 MB). Prefers an exact divisor of ``b``
+    (no padding); falls back to the largest power of two under budget,
+    for which the caller pads the batch."""
+    per_sample = bwd_bytes_per_sample(cfg)
     cap = max(1, min(b, budget_bytes // per_sample))
     for d in range(cap, 0, -1):
         if b % d == 0:

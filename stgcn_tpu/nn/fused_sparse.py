@@ -427,6 +427,37 @@ def fused_sparse_forward(params: dict, x: jax.Array, gop: Any, model: STGCN,
         b_tile = b_eff  # whole-array: no kernel tiling, no batch padding
     if b_tile is None:
         b_tile = min(pick_b_tile(c, b_eff) for c in cfgs)
+    elif backend == "pallas":
+        # explicit (tile_v, b_tile) choices that blow the kernels' scoped
+        # VMEM fail deep inside XLA with a stack-OOM dump; pre-check with
+        # pick_b_tile's estimate (caught live by the round-5 CLI verify at
+        # --fused_b_tile 32 / tile_v 256). The estimate is ~3-4x
+        # conservative vs XLA's measured stack usage, so only a gross
+        # excess is a hard error; the in-between zone warns and proceeds.
+        import os as _os
+        import warnings as _warnings
+
+        from stgcn_tpu.kernels.vertex_fused import bwd_bytes_per_sample
+
+        limit = int(_os.environ.get("STGCN_VMEM_LIMIT_MB", "100")) * 2**20
+        per = max(bwd_bytes_per_sample(c) for c in cfgs)
+        worst = per * b_tile
+        hint = (f"largest b_tile within the conservative estimate: "
+                f"{max(1, limit // per)}; STGCN_VMEM_LIMIT_MB widens the "
+                f"scoped budget")
+        if worst > 3 * limit:
+            raise ValueError(
+                f"b_tile={b_tile} at tile_v={tile_v} needs ~{worst/2**20:.0f}"
+                f" MB of scoped VMEM per grid step by the pick_b_tile "
+                f"estimate (scoped limit {limit/2**20:.0f} MB even after "
+                f"the estimate's ~3x conservatism) — the backward kernel "
+                f"cannot compile; {hint}")
+        if worst > limit:
+            _warnings.warn(
+                f"b_tile={b_tile} at tile_v={tile_v}: estimated "
+                f"{worst/2**20:.0f} MB scoped VMEM per grid step exceeds "
+                f"the {limit/2**20:.0f} MB limit (estimate is ~3x "
+                f"conservative — may still compile); {hint}")
     b = b_in
     if not sharded:  # sharded blocks pad their local batch internally
         b = -(-b_in // b_tile) * b_tile

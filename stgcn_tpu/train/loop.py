@@ -61,6 +61,12 @@ class TrainConfig:
                          # Pallas kernels (dense GSO only); dropout masks come
                          # from the on-core PRNG, so training trajectories
                          # differ bitwise from the unfused path
+    # vertex/batch tiling of the fused kernels (None = kernel defaults:
+    # tile_v 128, VMEM-budgeted b_tile). At 100k vertices tile_v=256 with
+    # b_tile = whole batch halves the grid-step count and measured
+    # 95.3 → 88.2 ms/step (BASELINE.md r5); larger tiles spill VMEM.
+    fused_tile_v: int | None = None
+    fused_b_tile: int | None = None
     # io
     ckpt_dir: str = "checkpoints/run"
     log_path: str | None = None
@@ -158,9 +164,14 @@ class Trainer:
                     # scale the fused forward wins outright, keep it there
                     return model.apply({"params": params}, x, g,
                                        deterministic=True)
+                kw = {}
+                if cfg.fused_tile_v is not None:
+                    kw["tile_v"] = cfg.fused_tile_v
+                if cfg.fused_b_tile is not None:
+                    kw["b_tile"] = cfg.fused_b_tile
                 return fused_sparse_forward(
                     params, x, g, model, deterministic=deterministic,
-                    rng=rng, precision=fused_prec)
+                    rng=rng, precision=fused_prec, **kw)
         else:
             def apply_fn(g, params, x, *, deterministic, rng=None):
                 rngs = None if rng is None else {"dropout": rng}
