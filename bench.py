@@ -319,7 +319,10 @@ def bench_train_100k(n_vertex=100_000, batch=8, reps=8):
                                     rng=r, tile_v=256, b_tile=batch)
 
     res = {"n_vertex": n_vertex, "batch": batch}
-    for name, fn in (("unfused", unfused), ("fused", fused)):
+    # fused first: it is the production path AND the unfused step's
+    # ~10 GB peak leaves the heap in a state that measured the fused
+    # step 105.6 vs 88.2 ms isolated (r5) — order the clean one first
+    for name, fn in (("fused", fused), ("unfused", unfused)):
         try:
             dt = measure(fn)
             res[f"{name}_step_s"] = dt
