@@ -335,7 +335,7 @@ def bench_train_100k(n_vertex=100_000, batch=8, reps=8):
     return res
 
 
-def bench_train_1m(n_vertex=1_000_000, batch=1, reps=3):
+def bench_train_1m(n_vertex=1_000_000, batch=1, reps=3, tile_v=512):
     """End-to-end 1M-vertex single-chip training step (BASELINE
     configs[4]'s single-chip half): **O(nnz) int8 blocked-ELL pack**
     (kernels/ell_nv.py) + vertex-fused blocks + minimal remat, bf16
@@ -435,9 +435,13 @@ def bench_train_1m(n_vertex=1_000_000, batch=1, reps=3):
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(p, s, g, xx, r):
             def loss(pp):
+                # at B=1 the VMEM batch-tile constraint vanishes, so wide
+                # vertex tiles cut the per-kernel grid sweep (7824 steps
+                # at tile_v=128) the same way tile_v=256 did at 100k
                 pred = fused_sparse_forward(pp, xx, g, model,
                                             deterministic=False, rng=r,
-                                            remat_policy="minimal")
+                                            remat_policy="minimal",
+                                            tile_v=tile_v)
                 return jnp.mean(pred.astype(jnp.float32) ** 2)
             l, grads = jax.value_and_grad(loss)(p)
             up, s2 = tx.update(grads, s, p)
