@@ -81,6 +81,11 @@ def top_ops(trace_dir, k=30):
         pname = pid_names.get(e.get("pid"), "")
         if "TPU" not in pname and "/device" not in pname.lower():
             continue
+        name = e.get("name", "?")
+        # skip the nested whole-module / per-rep envelope events — they
+        # contain every op event and would double-count as "fwd ?"
+        if name.startswith("jit_") or name.isdigit():
+            continue
         a = e.get("args", {}) or {}
         meta = " ".join(str(v) for v in a.values()) + " " + e.get("name", "")
         d = float(e.get("dur", 0.0))
